@@ -1,0 +1,136 @@
+"""Arrow-batched UDFs wrapping the pure stage library.
+
+The whole reference pipeline is, in Spark terms, one scalar map
+(SURVEY.md §2.11): ``bytes → struct`` per document, embarrassingly
+row-parallel. It is expressed here as a single ``mapInPandas`` stage so one
+Python-worker round-trip covers decode → segment → extract → clean →
+combine → reflow → normalize → spans, with numpy/pandas doing the batch
+work. No per-row Python ever runs on the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from ..stages.htmlparse import extract_sections
+from ..stages.normalize import OrthographyNormalizer
+from ..stages.textops import (
+    clean_divider_noise, combine_sections, reflow_text, section_spans,
+    transcribe_sections,
+)
+
+SPAN_TYPE = ArrayType(StructType([
+    StructField("section", StringType(), False),
+    StructField("start", LongType(), False),
+    StructField("end", LongType(), False),
+]))
+
+METRICS_TYPE = StructType([
+    StructField("n_blocks", IntegerType(), False),
+    StructField("n_cols", IntegerType(), False),
+    StructField("n_dropped_lines", IntegerType(), False),
+    StructField("n_joined_hyphens", IntegerType(), False),
+    StructField("html_bytes", LongType(), False),
+    StructField("has_masthead", BooleanType(), False),
+])
+
+RESULT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("header", StringType(), True),
+    StructField("columns", ArrayType(StringType()), False),
+    StructField("combined", StringType(), False),
+    StructField("transcribed", StringType(), False),
+    StructField("normalized", StringType(), True),
+    StructField("spans", SPAN_TYPE, False),
+    StructField("metrics", METRICS_TYPE, False),
+])
+
+_SHORT_LINE = re.compile(r"^\s*\S{1,2}\s*$")
+_HYPHEN_BREAK = re.compile(r"-\n\s*")
+
+
+def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None):
+    """Full per-page extraction: the Spark analog of
+    ``TesseractEngine.process_file`` (``engines/tesseract_engine.py:113-192``)
+    with the LLM correction pass replaced by trie normalization."""
+    header_raw, column_raws = extract_sections(html)
+
+    sections: list[str] = []
+    labels: list[str] = []
+    if header_raw is not None:
+        sections.append(clean_divider_noise(header_raw))
+        labels.append("header")
+    for i, raw in enumerate(column_raws, 1):
+        sections.append(clean_divider_noise(raw))
+        labels.append(f"column-{i}")
+
+    combined = combine_sections(sections)
+    transcribed = transcribe_sections(sections)
+    spans = section_spans(sections, labels)
+
+    normalized = None
+    if normalizer is not None:
+        # normalize the flowing text (sans trailing newline), mirroring the
+        # correction pass input (``tesseract_claude_engine.py:108-122``)
+        normalized = normalizer.normalize(transcribed[:-1]) + "\n"
+
+    raws = ([header_raw] if header_raw is not None else []) + column_raws
+    n_dropped = sum(1 for raw in raws for ln in raw.split("\n")
+                    if _SHORT_LINE.match(ln))
+    n_hyphens = sum(len(_HYPHEN_BREAK.findall(s)) for s in sections)
+
+    cols = sections[1:] if header_raw is not None else sections
+    return {
+        "url": url,
+        "header": sections[0] if header_raw is not None else None,
+        "columns": cols,
+        "combined": combined,
+        "transcribed": transcribed,
+        "normalized": normalized,
+        "spans": spans,
+        "metrics": {
+            "n_blocks": len(sections),
+            "n_cols": len(cols),
+            "n_dropped_lines": int(n_dropped),
+            "n_joined_hyphens": int(n_hyphens),
+            "html_bytes": len(html) if html is not None else 0,
+            "has_masthead": header_raw is not None,
+        },
+    }
+
+
+def extract_map_fn(normalize_table: tuple[dict, set] | None):
+    """Build the ``mapInPandas`` function. ``normalize_table`` is the
+    broadcast-safe plain-dict form of the trie (rebuilt once per executor —
+    the J3 broadcast-lookup pattern)."""
+    def fn(batches):
+        import pandas as pd
+        normalizer = (OrthographyNormalizer(normalize_table[0],
+                                            normalize_table[1])
+                      if normalize_table is not None else None)
+        for pdf in batches:
+            rows = [extract_one(u, h, normalizer)
+                    for u, h in zip(pdf["url"], pdf["html"])]
+            yield pd.DataFrame(rows)
+    return fn
+
+
+def make_normalize_udf(spark, normalizer: OrthographyNormalizer):
+    """Standalone string→string normalization pandas UDF (broadcast trie)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = normalizer.to_table()
+    bc = spark.sparkContext.broadcast(table)
+
+    @pandas_udf(StringType())
+    def normalize(s: pd.Series) -> pd.Series:
+        local = OrthographyNormalizer(bc.value[0], bc.value[1])
+        return s.map(lambda t: local.normalize(t) if t is not None else None)
+
+    return normalize

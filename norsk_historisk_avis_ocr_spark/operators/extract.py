@@ -1,0 +1,63 @@
+"""The extraction pipeline operator: ``pages`` → ``results``.
+
+Spark-first design notes (scale target: 10^12 rows / 100 TB):
+
+- **Map-only.** The whole pipeline is one ``mapInPandas`` stage — no shuffle
+  in the hot path. The only shuffles in a production run are the resume
+  anti-join (broadcast when the done-set is small; AQE otherwise) and the
+  optional size-decorrelating repartition below.
+- **Skew.** Input files are often clustered by crawl host/time, so byte
+  sizes correlate within input splits; ``decorrelate=True`` repartitions by
+  ``xxhash64(url)`` to spread heavy pages uniformly — the analog of the
+  reference's size-budget loop (``claude_vision_engine.py:107-127``) turned
+  into a partitioning decision. With AQE on, skewed post-shuffle partitions
+  are split automatically.
+- **Quarantine.** A malformed page must not kill a 1000-executor job. The
+  reference catches per-file exceptions (``ocr.py:159-163``); here rows are
+  gated *before* the UDF (null/oversized html) into an errors DataFrame,
+  and the parser itself is total (stdlib HTMLParser never raises on bad
+  markup; undecodable bytes are replaced).
+- **Arrow batches.** ``spark.sql.execution.arrow.maxRecordsPerBatch`` is
+  tuned down in ``plans/session.py`` so multi-MB html payloads don't blow up
+  Python-worker memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import RESULT_SCHEMA, extract_map_fn
+from ..stages.normalize import default_normalizer
+
+# Pages above this are quarantined, mirroring the reference's hard 5 MB
+# decoded-image budget (``claude_vision_engine.py:92-95``) scaled to html.
+MAX_HTML_BYTES = 16 * 1024 * 1024
+
+
+def split_quarantine(pages: DataFrame,
+                     max_bytes: int = MAX_HTML_BYTES) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined). Quarantined rows keep url + reason for the
+    errors table (S5 in SURVEY.md §2.1)."""
+    reason = (
+        F.when(F.col("html").isNull(), F.lit("null_html"))
+        .when(F.length("html") > max_bytes, F.lit("oversized_html"))
+    )
+    with_reason = pages.withColumn("quarantine_reason", reason)
+    good = with_reason.filter(F.col("quarantine_reason").isNull()) \
+                      .drop("quarantine_reason")
+    bad = with_reason.filter(F.col("quarantine_reason").isNotNull()) \
+                     .select("url", "quarantine_reason")
+    return good, bad
+
+
+def extract_pages(pages: DataFrame, normalize: bool = True,
+                  decorrelate: bool = False,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Run the full extraction over a pages DataFrame → RESULT_SCHEMA rows."""
+    df = pages.select("url", "html")
+    if decorrelate:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, F.xxhash64("url"))
+    table = default_normalizer().to_table() if normalize else None
+    return df.mapInPandas(extract_map_fn(table), schema=RESULT_SCHEMA)

@@ -1,0 +1,193 @@
+"""HTML byte-stream tokenization + Readability-style block classification.
+
+The reference decodes a page raster and segments it geometrically
+(``engines/_columns.py:421-524``). The web-page analog decodes the ``html``
+binary column into a flat stream of layout blocks (DOM leaf blocks), then
+classifies each block by *structure and text statistics only* — never by
+class names — mirroring the reference's content-vs-artifact decisions:
+
+- boilerplate strip (nav/footer/link farms)  ←  divider/edge artifact removal
+- masthead detection (heading block above the body)  ←  title-region
+  detection (``engines/_columns.py:4-118``)
+- column blocks in document order  ←  column crops left→right
+  (``engines/_columns.py:503-514``)
+
+Heuristics are Readability-style: link density and text length decide
+content vs boilerplate; tag *kind* (heading vs flow) decides masthead vs
+column. All of it runs inside Arrow-batched pandas UDFs — the parser is pure
+Python over one page's bytes, vectorized across rows by the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags that open a new layout block (block-level flow containers).
+BLOCK_TAGS = frozenset({
+    "html", "body", "main", "article", "section", "div", "nav", "footer",
+    "header", "aside", "table", "thead", "tbody", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol", "li",
+    "blockquote", "pre", "figure", "figcaption",
+})
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# Subtrees whose text is never content.
+SKIP_TAGS = frozenset({"script", "style", "head", "title", "template", "noscript"})
+# Void tag rendered as a line break inside a block.
+BREAK_TAGS = frozenset({"br"})
+
+# Classification thresholds (Readability-style).
+MAX_LINK_DENSITY = 0.45   # above this a block is boilerplate
+MIN_CONTENT_CHARS = 3     # non-heading blocks shorter than this are noise
+
+
+@dataclass
+class Block:
+    """One DOM leaf block — the Arrow-struct unit of layout."""
+    order: int
+    tag: str
+    parent_tag: str
+    depth: int
+    text_parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    has_block_child: bool = False
+
+    @property
+    def text(self) -> str:
+        return "".join(self.text_parts)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[Block] = []
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._order = 0
+
+    # -- tag events ---------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BREAK_TAGS:
+            if self._stack:
+                self._stack[-1].text_parts.append("\n")
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            parent = self._stack[-1].tag if self._stack else ""
+            if self._stack:
+                self._stack[-1].has_block_child = True
+            blk = Block(order=self._order, tag=tag, parent_tag=parent,
+                        depth=len(self._stack))
+            self._order += 1
+            self.blocks.append(blk)
+            self._stack.append(blk)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in BREAK_TAGS and not self._skip_depth and self._stack:
+            self._stack[-1].text_parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            # close innermost matching open block
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i].tag == tag:
+                    del self._stack[i:]
+                    break
+
+    # -- text ---------------------------------------------------------------
+    def handle_data(self, data):
+        if self._skip_depth or not self._stack or not data:
+            return
+        blk = self._stack[-1]
+        blk.text_parts.append(data)
+        if self._link_depth:
+            blk.link_chars += len(data)
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Decode page bytes into the flat leaf-block stream (document order)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    # Leaf blocks only: a container whose text all lives in children carries
+    # no signal of its own (mirrors cropping only final segments, not the
+    # whole page, in the reference's phase 3).
+    return [b for b in p.blocks if b.text.strip()]
+
+
+def classify_blocks(blocks: list[Block]) -> list[tuple[str, Block]]:
+    """Label each text-bearing block ``masthead`` / ``column`` /
+    ``boilerplate`` using structure + text statistics only.
+
+    - link density > 45% → boilerplate (nav / footer / ad farm);
+    - heading-tag blocks before the first flow block → masthead (the
+      geometric analog: elevated columns grouped at the top,
+      ``engines/_columns.py:77-98``); only the *first* such run counts;
+    - remaining blocks with ≥ 3 chars of text → columns in document order;
+    - shorter scraps → boilerplate (analog of the <30px segment filter,
+      ``engines/_columns.py:490-497``).
+    """
+    labeled: list[tuple[str, Block]] = []
+    seen_flow = False
+    seen_masthead = False
+    for b in blocks:
+        stripped = b.text.strip()
+        n = len(stripped)
+        if n == 0:
+            continue
+        density = b.link_chars / n if n else 0.0
+        if density > MAX_LINK_DENSITY:
+            labeled.append(("boilerplate", b))
+            continue
+        is_heading = b.tag in HEADING_TAGS or b.parent_tag == "header"
+        if is_heading and not seen_flow and not seen_masthead:
+            labeled.append(("masthead", b))
+            seen_masthead = True
+            continue
+        if n < MIN_CONTENT_CHARS and not is_heading:
+            labeled.append(("boilerplate", b))
+            continue
+        labeled.append(("column", b))
+        seen_flow = True
+    return labeled
+
+
+def extract_sections(html: bytes | str) -> tuple[str | None, list[str]]:
+    """Page bytes → (masthead text or None, raw column texts in reading
+    order). The single-column / no-content fallback mirrors
+    ``engines/_columns.py:521-522``: a page with no recognizable column
+    blocks yields one column holding the page's whole visible text."""
+    blocks = parse_blocks(html)
+    labeled = classify_blocks(blocks)
+    header = None
+    columns: list[str] = []
+    for kind, b in labeled:
+        if kind == "masthead" and header is None:
+            header = b.text
+        elif kind == "column":
+            columns.append(b.text)
+    if not columns:
+        # page-as-is fallback, minus link farms: main-content extraction of a
+        # boilerplate-only page is a single empty column
+        visible = "\n".join(
+            b.text for kind, b in labeled if kind != "boilerplate")
+        columns = [visible]
+    return header, columns

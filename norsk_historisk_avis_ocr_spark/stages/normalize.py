@@ -1,0 +1,176 @@
+"""Trie-based historical-Norwegian orthography normalization (X4′).
+
+Deterministic analog of the reference's LLM correction pass
+(``engines/_correction.py:126-168``; confusion rules listed in the prompt at
+``engines/_correction.py:21-27``: rn→m, li→h, cl→d, ø→o, æ→ae confusions,
+never delete words, preserve 1950s orthography such as «bleven»/«hvad»).
+
+Instead of a network call, normalization is a longest-match-first lookup in a
+token-sequence **trie** built from a rewrite table. The table is small and
+broadcast to executors (see ``functions/udfs.py``); lookups are pure and the
+output is deterministic, so the per-url byte-identity contract holds.
+
+Semantics:
+
+- tokens are whitespace-delimited; leading/trailing punctuation is detached
+  before lookup and re-attached after, so «rnann», (rnann) and rnann. all
+  normalize their core;
+- multi-token entries win over shorter ones (longest match first at each
+  position — classic trie walk);
+- a *preserve set* short-circuits lookup: 1950s forms the reference's prompt
+  explicitly protects are never rewritten;
+- capitalization of the source token is re-applied to the replacement
+  (Rnann → Mann);
+- word count is never reduced unless a multi-token rule says so — mirroring
+  the prompt's "NEVER delete words" rule.
+"""
+
+from __future__ import annotations
+
+# Characters considered token-edge punctuation (kept, not normalized).
+_PUNCT = ".,;:!?«»\"'()[]{}-–—"
+
+
+class _TrieNode:
+    __slots__ = ("children", "value")
+
+    def __init__(self):
+        self.children: dict[str, _TrieNode] = {}
+        self.value: str | None = None
+
+
+class OrthographyNormalizer:
+    """Longest-match-first token-sequence rewriter backed by a trie."""
+
+    def __init__(self, table: dict[str, str], preserve: set[str] | frozenset[str] = frozenset()):
+        self._root = _TrieNode()
+        self._preserve = {w.lower() for w in preserve}
+        self._max_len = 1
+        for phrase, repl in table.items():
+            toks = phrase.lower().split()
+            if not toks:
+                continue
+            self._max_len = max(self._max_len, len(toks))
+            node = self._root
+            for t in toks:
+                node = node.children.setdefault(t, _TrieNode())
+            node.value = repl
+
+    # -- table export (for broadcasting a plain dict instead of the object) --
+    def to_table(self) -> tuple[dict[str, str], set[str]]:
+        out: dict[str, str] = {}
+
+        def walk(node: _TrieNode, prefix: list[str]):
+            if node.value is not None:
+                out[" ".join(prefix)] = node.value
+            for tok, child in node.children.items():
+                walk(child, prefix + [tok])
+
+        walk(self._root, [])
+        return out, set(self._preserve)
+
+    @staticmethod
+    def _split_token(token: str) -> tuple[str, str, str]:
+        start = 0
+        end = len(token)
+        while start < end and token[start] in _PUNCT:
+            start += 1
+        while end > start and token[end - 1] in _PUNCT:
+            end -= 1
+        return token[:start], token[start:end], token[end:]
+
+    @staticmethod
+    def _match_case(src: str, repl: str) -> str:
+        if src.isupper() and len(src) > 1:
+            return repl.upper()
+        if src[:1].isupper():
+            return repl[:1].upper() + repl[1:]
+        return repl
+
+    def normalize(self, text: str) -> str:
+        """Rewrite token by token. Tokens are maximal non-whitespace runs;
+        the original whitespace (spaces, newlines, blank-line section
+        separators) is preserved byte-for-byte. A multi-token phrase match
+        collapses its interior whitespace into the single replacement."""
+        import re
+        parts = re.split(r"(\s+)", text)
+        # parts alternates token, sep, token, ... (possibly empty edges)
+        tokens = parts[0::2]
+        seps = parts[1::2]  # sep[i] follows token[i]
+        cores = []
+        for tok in tokens:
+            _, core, _ = self._split_token(tok)
+            cores.append(core.lower())
+
+        out: list[str] = []
+        i = 0
+        n = len(tokens)
+        while i < n:
+            if cores[i] in self._preserve:
+                out.append(tokens[i])
+                if i < len(seps):
+                    out.append(seps[i])
+                i += 1
+                continue
+            # longest trie match starting at i over the punctuation-stripped
+            # lowercase cores
+            node = self._root
+            best_len = 0
+            best_val: str | None = None
+            j = i
+            while j < n and cores[j] in node.children:
+                node = node.children[cores[j]]
+                j += 1
+                if node.value is not None:
+                    best_len = j - i
+                    best_val = node.value
+            if best_val is None or any(cores[k] in self._preserve for k in range(i, i + best_len)):
+                out.append(tokens[i])
+                if i < len(seps):
+                    out.append(seps[i])
+                i += 1
+                continue
+            pre, first_core, _ = self._split_token(tokens[i])
+            _, _, post = self._split_token(tokens[i + best_len - 1])
+            repl = self._match_case(first_core, best_val)
+            out.append(pre + repl + post)
+            last = i + best_len - 1
+            if last < len(seps):
+                out.append(seps[last])
+            i += best_len
+        return "".join(out)
+
+
+# Default rewrite table: OCR confusion fixes mirroring the reference prompt's
+# rule classes (rn→m, li→h, cl→d, ø→o, æ→ae, doubled/missing letters) applied
+# to common 1950s Norwegian words, as whole-token rewrites.
+DEFAULT_TABLE: dict[str, str] = {
+    # rn → m
+    "rnann": "mann", "sarnme": "samme", "kornmer": "kommer", "rned": "med",
+    "hjern": "hjem", "sornmer": "sommer", "rnot": "mot", "norrnal": "normal",
+    # li → h (misread ascender pairs)
+    "liar": "har", "lian": "han", "liele": "hele", "lius": "hus",
+    # cl → d
+    "clet": "det", "clen": "den", "cler": "der", "clag": "dag",
+    # o → ø mis-OCR (ring lost)
+    "forst": "først", "storre": "større", "hoyere": "høyere", "sjo": "sjø",
+    # ae → æ (ligature split by OCR)
+    "naermere": "nærmere", "laerer": "lærer", "vaere": "være", "baerer": "bærer",
+    # doubled/missing letters
+    "kommmune": "kommune", "stortinget": "stortinget", "regjeringen": "regjeringen",
+    "aviss": "avis", "nyhetter": "nyheter",
+    # multi-token OCR splits
+    "i dag morges": "idagmorges",
+    "for di": "fordi",
+}
+
+# 1950s orthography the prompt explicitly preserves («bleven» not «blitt»,
+# «hvad» not «hva») — plus common pre-reform forms of that register.
+DEFAULT_PRESERVE: frozenset[str] = frozenset({
+    "bleven", "hvad", "nu", "efter", "sprog", "sproget", "syv", "tyve",
+    "mellem", "frem", "sne", "farve",
+})
+
+
+def default_normalizer() -> OrthographyNormalizer:
+    return OrthographyNormalizer(DEFAULT_TABLE, DEFAULT_PRESERVE)

@@ -1,0 +1,49 @@
+"""Orthography-normalizer (X4′) spec tests."""
+
+from norsk_historisk_avis_ocr_spark.stages.normalize import (
+    OrthographyNormalizer, default_normalizer,
+)
+
+
+def test_basic_confusion_rewrites():
+    n = default_normalizer()
+    assert n.normalize("en rnann gikk") == "en mann gikk"
+    assert n.normalize("clet var sarnme dag") == "det var samme dag"
+    assert n.normalize("liar du sett") == "har du sett"
+
+
+def test_preserve_1950s_forms():
+    n = default_normalizer()
+    assert n.normalize("hvad er bleven av nu") == "hvad er bleven av nu"
+    assert n.normalize("efter krigen") == "efter krigen"
+
+
+def test_case_preserved():
+    n = default_normalizer()
+    assert n.normalize("Rnann og RNANN") == "Mann og MANN"
+
+
+def test_punctuation_detached():
+    n = default_normalizer()
+    assert n.normalize("«rnann», (clet).") == "«mann», (det)."
+
+
+def test_longest_match_first():
+    n = OrthographyNormalizer({"for": "b", "for di": "fordi"})
+    assert n.normalize("for di han kom") == "fordi han kom"
+    assert n.normalize("for han kom") == "b han kom"
+
+
+def test_never_deletes_words():
+    n = default_normalizer()
+    text = "ord som ikke finnes i tabellen forblir urørt"
+    assert n.normalize(text) == text
+    assert len(n.normalize("rnann clet liar").split()) == 3
+
+
+def test_table_roundtrip():
+    n = default_normalizer()
+    table, preserve = n.to_table()
+    n2 = OrthographyNormalizer(table, preserve)
+    sample = "Rnann sa hvad clet var, for di sarnme dag."
+    assert n2.normalize(sample) == n.normalize(sample)

