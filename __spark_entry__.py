@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / quality); each
+SQL-expressible one has a value-exact DuckDB oracle in ``oracle_sql()``.
+
+Cross-engine value identity strategy: every float-bearing output is either
+derived from exact-integer intermediates with a fixed fp expression tree
+(identical operands → identical IEEE result in both engines) or rounded at a
+scale far above accumulated fp error. Hashes use the portable 60-bit md5
+hash computed identically in Spark (``conv(substr(md5(x),1,15),16,10)``) and
+DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from norsk_historisk_avis_ocr_spark.operators import extract_pages  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import dedup as dd  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import multimodal as mm  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import quality as q  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import similarity as sim  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import windows as w  # noqa: E402
+from norsk_historisk_avis_ocr_spark.sources import pages_df  # noqa: E402
+
+
+def _ensure_worker_path(spark: SparkSession) -> None:
+    """Executor Python workers must import this repo's package even when the
+    driver was launched elsewhere (the --py-files analog for local mode)."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO + (
+            os.pathsep + existing if existing else "")
+    try:
+        spark.sparkContext.addPyFile  # touch to assert a live context
+    except Exception:  # pragma: no cover
+        pass
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full main-content extraction over synthesized CC-style
+    pages at sf0.001 — url, masthead, per-column text, combined text,
+    reflowed text, normalized text, span offsets, metrics."""
+    _ensure_worker_path(spark)
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    res = extract_pages(pages)
+    return res.select(
+        "url", "header", "combined", "transcribed", "normalized",
+        F.col("metrics.n_blocks").alias("n_blocks"),
+        F.col("metrics.n_cols").alias("n_cols"),
+        F.col("metrics.has_masthead").alias("has_masthead"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per operator
+# ---------------------------------------------------------------------------
+
+def _j1_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Resume anti-join shape (J1): keys with no committed counterpart —
+    the ``pages LEFT ANTI JOIN done ON url`` resume pattern
+    (``operators/resume.py``) over oracle-checkable tables: customers with
+    no 'P'-status order yet."""
+    cust = _t(spark, sf, "customer")
+    done = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(done, cust.c_custkey == done.o_custkey,
+                     "left_anti").select("c_custkey", "c_name")
+
+
+def _dedup_exact_with_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (the base table has
+    none): every doc unioned once more under a shifted id."""
+    from norsk_historisk_avis_ocr_spark.operators.dedup import exact_duplicates
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return exact_duplicates(docs.unionAll(dupes))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def extract_pipeline(spark, sf):
+        _ensure_worker_path(spark)
+        res = extract_pages(pages_df(spark, sf))
+        return res.select(
+            "url", "header", "combined", "transcribed", "normalized",
+            F.col("metrics.n_blocks").alias("n_blocks"),
+            F.col("metrics.n_cols").alias("n_cols"))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def multimodal_features(spark, sf):
+        _ensure_worker_path(spark)
+        return mm.media_features(pages_df(spark, sf))
+
+    return {
+        # -- extraction pipeline (non-SQL; rows-only checks) --------------
+        "extract_pipeline": extract_pipeline,
+        "multimodal_features": multimodal_features,
+        # -- window-shaped W1-W4 + friends ---------------------------------
+        "w1_runlength_islands":
+            lambda s, sf: w.runlength_islands(_t(s, sf, "events")),
+        "w2_largest_island":
+            lambda s, sf: w.largest_island_per_user(_t(s, sf, "events")),
+        "w3_moving_average":
+            lambda s, sf: w.moving_average(_t(s, sf, "events")),
+        "w4_reading_order":
+            lambda s, sf: w.reading_order_concat(_t(s, sf, "lineitem")),
+        "sessionize_events":
+            lambda s, sf: w.sessionize(_t(s, sf, "events")),
+        "a4_upper_median":
+            lambda s, sf: w.upper_median(_t(s, sf, "lineitem")),
+        # -- joins / filters / aggregates ----------------------------------
+        "j1_resume_antijoin": _j1_antijoin,
+        "p_filter_project":
+            lambda s, sf: _t(s, sf, "documents")
+                .filter((F.col("lang") == "en") &
+                        F.col("n_chars").between(100, 400))
+                .select("doc_id", "source", "n_chars"),
+        "agg_pricing_summary":
+            lambda s, sf: _t(s, sf, "lineitem")
+                .groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum(F.round(F.col("l_quantity")).cast("long"))
+                     .alias("sum_qty"),
+                    F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("long")).alias("sum_price_cents"),
+                    F.count("*").alias("n_rows")),
+        "broadcast_dim_join":
+            lambda s, sf: _t(s, sf, "orders")
+                .join(_t(s, sf, "customer"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(_t(s, sf, "nation")),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(_t(s, sf, "region")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .groupBy("r_name").agg(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                     .alias("revenue_cents"),
+                    F.count("*").alias("n_orders")),
+        # -- dedup ----------------------------------------------------------
+        "dedup_exact": _dedup_exact_with_dupes,
+        "dedup_exact_counts":
+            lambda s, sf: _t(s, sf, "documents").agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct(F.md5("text")).alias("n_distinct")),
+        "dedup_ngram_jaccard":
+            lambda s, sf: dd.ngram_jaccard_pairs(
+                _t(s, sf, "documents"), k=3, threshold=0.12),
+        "minhash_signatures":
+            lambda s, sf: dd.minhash_signatures(_t(s, sf, "documents")),
+        "dedup_minhash_lsh":
+            lambda s, sf: dd.minhash_lsh_pairs(
+                _t(s, sf, "documents"), est_threshold=0.125),
+        "simhash_values":
+            lambda s, sf: dd.simhash_values(_t(s, sf, "documents")),
+        "dedup_simhash":
+            lambda s, sf: dd.simhash_dup_pairs(
+                _t(s, sf, "documents"), max_hamming=12),
+        # -- similarity search ---------------------------------------------
+        "emb_cosine_topk":
+            lambda s, sf: sim.cosine_topk(_t(s, sf, "embeddings"), 0, k=10),
+        "emb_ivf_topk":
+            lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
+        "emb_lsh_topk":
+            lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5),
+        # -- text analysis ---------------------------------------------------
+        "lang_id": lambda s, sf: q.language_id(_t(s, sf, "documents")),
+        "token_counts": lambda s, sf: q.token_counts(_t(s, sf, "documents")),
+        "quality_scores":
+            lambda s, sf: q.quality_scores(_t(s, sf, "documents")),
+        "fingerprints": lambda s, sf: q.fingerprints(_t(s, sf, "documents")),
+        "stopword_ratios":
+            lambda s, sf: q.stopword_ratios(_t(s, sf, "documents")),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — value-exact equivalents
+# ---------------------------------------------------------------------------
+
+_H60 = "('0x' || substr(md5({x}), 1, 14))::BIGINT"  # 56-bit portable hash
+
+_ISLANDS_CTE = """
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+         event_id - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY event_id) AS island
+  FROM events
+),
+isl AS (
+  SELECT user_id, event_type,
+         MIN(event_id) AS island_start, MAX(event_id) AS island_end,
+         COUNT(*) AS island_len
+  FROM r GROUP BY user_id, event_type, island
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_en = ",".join(f"'{x}'" for x in
+                     ["the", "and", "of", "to", "in", "is", "that", "for",
+                      "with"])
+    markers = ",".join(
+        f"('{lang}','{word}')"
+        for lang, ws in {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+            "no": ["og", "det", "som", "på", "av", "ikke", "hvad", "å", "jeg"],
+            "da": ["og", "det", "som", "af", "ikke", "hvad", "jeg", "en", "til"],
+            "sv": ["och", "det", "som", "av", "inte", "jag", "en", "till", "på"],
+        }.items() for word in ws)
+
+    mh_prime = 2305843009213693951
+    mh_terms = ",".join(
+        f"MIN((h * {2 * i + 3} + {1000003 * (i + 1)}) % {mh_prime}) AS mh{i}"
+        for i in range(16))
+    band_keys = []
+    for b in range(4):
+        cols = "||'_'||".join(
+            f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4))
+        band_keys.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key"
+                         f" FROM sig")
+    eq_terms = "+".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(16))
+
+    shingles_cte = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))
+  ) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+    sig_cte = shingles_cte + f""",
+h AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mh_terms} FROM h GROUP BY doc_id)
+"""
+
+    cos = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0
+)
+"""
+
+    return {
+        "w1_runlength_islands": _ISLANDS_CTE + """
+SELECT user_id, event_type, island_start, island_end, island_len FROM isl
+""",
+        "w2_largest_island": _ISLANDS_CTE + """
+, ranked AS (
+  SELECT user_id, island_start, island_end, island_len,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY island_len DESC, island_start ASC) AS rn
+  FROM isl
+)
+SELECT user_id, island_start, island_end, island_len FROM ranked WHERE rn = 1
+""",
+        "w3_moving_average": """
+SELECT user_id, event_id,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) / 1000.0, 6) AS smoothed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+""",
+        "w4_reading_order": """
+SELECT l_orderkey,
+       string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag) AS flags_in_order,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+        "sessionize_events": """
+WITH x AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, ts FROM events
+),
+y AS (
+  SELECT user_id, ts_s,
+         CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+z AS (
+  SELECT user_id, ts_s,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y
+)
+SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+       COUNT(*) AS n_events
+FROM z GROUP BY user_id, sid
+""",
+        "a4_upper_median": """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, l_quantity AS upper_median_qty
+FROM r WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
+""",
+        "j1_resume_antijoin": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+        "p_filter_project": """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+""",
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "broadcast_dim_join": """
+SELECT r_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "dedup_exact": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2
+""",
+        "dedup_exact_counts": """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+FROM documents
+""",
+        "dedup_ngram_jaccard": shingles_cte + """
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+""",
+        "minhash_signatures": sig_cte + "SELECT * FROM sig",
+        "dedup_minhash_lsh": sig_cte + f""",
+banded AS ({' UNION ALL '.join(band_keys)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({eq_terms}) / 16.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({eq_terms}) / 16.0 >= 0.125
+""",
+        "simhash_values": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "dedup_simhash": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 14)) & 16383 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+""",
+        "emb_cosine_topk": cos +
+            "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
+        "emb_ivf_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0 AND label = qlabel
+)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+""",
+        "lang_id": f"""
+WITH markers(cand_lang, word) AS (VALUES {markers}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS hits
+  FROM toks JOIN markers USING (word) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0) AS marker_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON d.doc_id = b.doc_id
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_ws_tokens,
+       len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))
+           AS n_bpe_tokens
+FROM documents
+""",
+        "quality_scores": """
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       ROUND(length(regexp_replace(text, '[^A-Za-zÆØÅæøå]', '', 'g'))
+             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+       ROUND(LEAST(length(text) / 200.0, 1.0)
+             * (length(regexp_replace(text, '[^A-Za-zÆØÅæøå]', '', 'g'))
+                / GREATEST(length(text), 1))
+             * (1.0 - LEAST((length(regexp_replace(text, '[^.,;:!?|]', '', 'g'))
+                             / GREATEST(length(text), 1)) * 5, 1.0)), 6)
+           AS quality
+FROM documents
+""",
+        "fingerprints": f"""
+SELECT doc_id, MIN(h) AS fp FROM (
+  SELECT doc_id, unnest(
+    list_transform(range(1, length(text) - 6),
+                   i -> {_H60.format(x='substr(text, i, 8)')})
+  ) AS h FROM documents
+) GROUP BY doc_id
+""",
+        "stopword_ratios": f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(len(list_filter(toks, x -> list_contains([{sw_en}], x)))
+             / GREATEST(len(toks), 1), 6) AS en_stopword_ratio
+FROM t
+""",
+    }

@@ -6,10 +6,11 @@ whole-stage-codegen) — no Python UDFs — so they run at scan speed over a
 100 TB corpus and have exact ANSI-SQL oracle equivalents (see
 ``__spark_entry__.py``).
 
-The portable 60-bit hash used across dedup/fingerprint operators is
-``conv(substr(md5(s), 1, 15), 16, 10)`` — identical in Spark and DuckDB
-(``('0x' || substr(md5(s),1,15))::BIGINT``), so value-level oracle checks
-hold.
+The portable 56-bit hash used across dedup/fingerprint operators is
+``conv(substr(md5(s), 1, 14), 16, 10)`` — identical in Spark and DuckDB
+(``('0x' || substr(md5(s),1,14))::BIGINT``), so value-level oracle checks
+hold. 56 bits (not 60) so MinHash's ``h * A`` stays inside signed-64 for
+the multiplier family in ``functions/dedup.py``.
 """
 
 from __future__ import annotations
@@ -28,8 +29,11 @@ STOPWORDS = {
 
 
 def portable_hash60(col: Column) -> Column:
-    """Deterministic 60-bit hash of a string, identical across engines."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    """Deterministic 56-bit hash of a string, identical across engines.
+
+    (Name kept for history; width is 56 bits = 14 hex digits of md5.)
+    """
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
 
 
 def tokens(col: Column) -> Column:

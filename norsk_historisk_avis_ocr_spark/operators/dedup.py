@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is relational (explode → aggregate → join) so it scales
+horizontally: no pairwise O(n²) comparisons except *within LSH candidate
+buckets*, which is the entire point of the banding scheme. Hash functions
+are the portable 60-bit md5 hash (``functions/textqual.py``) so the DuckDB
+oracle computes identical values.
+
+Scale shape per operator (n docs, s shingles/doc):
+- exact: one shuffle on the text hash.
+- minhash signatures: explode (n·s rows) → groupBy doc (partial aggs
+  map-side) → one shuffle.
+- LSH candidates: signatures → band keys (n·B rows) → self-join on band key:
+  shuffle sized by bucket occupancy, not n².
+- simhash: explode tokens → per-bit contributions aggregated relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_MINHASH, word_shingles,
+)
+from ..functions.textqual import portable_hash60, tokens
+
+SIMHASH_BITS = 56  # width of the portable hash
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by text hash: keeper = min doc_id per group (S2-style
+    keep-first semantics). Returns groups with ≥ 2 members."""
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_members"),
+    ).filter("n_members >= 2")
+
+
+def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct — shared base for Jaccard/MinHash."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct k-word shingles.
+
+    Candidate pairs come from sharing ≥1 shingle (an equi-join, not a cross
+    join); J = |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = distinct_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b")) \
+        .agg(F.count("*").alias("n_inter"))
+    return inter \
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a") \
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_sh", "n_b"), "doc_b") \
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") /
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)) \
+        .filter(F.col("jaccard") >= threshold) \
+        .select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """N_MINHASH-permutation MinHash signature per doc, one column per
+    permutation (mh0..mh15): explode shingles → hash → min per permutation.
+    Partial aggregation makes this one map-side-combined shuffle."""
+    sh = distinct_shingles(docs, k).withColumn(
+        "h", portable_hash60(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
+                      est_threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (N_BANDS bands of
+    N_MINHASH/N_BANDS rows), bucket-join on (band, band-key), then estimate
+    Jaccard as the fraction of equal signature components."""
+    sig = minhash_signatures(docs, k)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("band_key")))
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = a.join(b, (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.band_key") == F.col("b.band_key")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).distinct()
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq = sum(F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+             for i in range(N_MINHASH))
+    return cand \
+        .join(sa, cand.doc_a == F.col("sa.doc_id")) \
+        .join(sb, cand.doc_b == F.col("sb.doc_id")) \
+        .select("doc_a", "doc_b",
+                F.round(eq / F.lit(float(N_MINHASH)), 6).alias("est_jaccard")) \
+        .filter(F.col("est_jaccard") >= est_threshold)
+
+
+def simhash_values(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc over distinct whitespace tokens: per bit
+    plane, sum ±1 contributions of token hashes; bit set iff sum > 0.
+    Fully relational: tokens × 60 bit planes → two aggregations."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct().withColumn("h", portable_hash60(F.col("tok")))
+    bit_cols = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_cols)
+    value = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0,
+                      F.lit(1).cast("bigint") * F.lit(2 ** i).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        value = term if value is None else value + term
+    return sums.select("doc_id", value.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``.
+
+    Sandbox-scale: join on equality of any of 4 15-bit chunks (pigeonhole:
+    distance ≤ 3 over 4 chunks ⇒ ≥ 1 chunk equal), then verify with
+    bit_count(xor) — the same chunk-index trick that scales this to 10^12
+    rows (bucket join, never a cross join).
+    """
+    sh = simhash_values(docs)
+    chunks = 4
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    parts = []
+    for c in range(chunks):
+        parts.append(sh.select(
+            "doc_id", "simhash", F.lit(c).alias("chunk"),
+            F.shiftright("simhash", c * chunk_bits)
+             .bitwiseAND(F.lit(mask)).alias("chunk_val")))
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionAll(p)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
+                  (F.col("a.chunk_val") == F.col("b.chunk_val")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b")).distinct()
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("long")) \
+        .filter(F.col("hamming") <= max_hamming) \
+        .select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
+pattern the html pipeline uses. The *decode* step is stubbed (no
+PIL/ffmpeg in this container): ``decode_media`` produces deterministic fake
+dimensions/features derived from the bytes, behind a clearly-marked
+switch, while all the Spark-side plumbing — schema, batching, partitioning,
+UDF signatures, feature vectors — is real and tested. Swapping the stub for
+a real decoder changes one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_FEATURE_DIM = 16
+
+MEDIA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("features", ArrayType(FloatType()), True),
+])
+
+# Magic-byte sniffing (real; mirrors the reference's extension dispatch,
+# ``tesseract_engine.py:133-147``).
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
+    (b"%PDF", "application/pdf"),
+    (b"RIFF", "audio/wav"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+]
+
+
+def sniff_media_type(data: bytes) -> str:
+    for magic, mt in _MAGIC:
+        if data.startswith(magic):
+            return mt
+    return "application/octet-stream"
+
+
+def decode_media(data: bytes) -> dict:
+    """STUB DECODER — deterministic fake decode.
+
+    Real image/audio libs are unavailable in this container; this produces
+    stable pseudo-metadata and a unit-normalized feature vector from a
+    SHA-256 of the payload so every downstream stage (similarity, dedup,
+    partitioning) is exercised with realistic shapes. Replace the body with
+    PIL/torchvision/ffmpeg calls in production.
+    """
+    digest = hashlib.sha256(data).digest()
+    width = 256 + digest[0] * 8
+    height = 256 + digest[1] * 8
+    n_frames = 1 + digest[2] % 4
+    raw = [int.from_bytes(digest[4 + 2 * i:6 + 2 * i], "big") / 65535.0 - 0.5
+           for i in range(MEDIA_FEATURE_DIM)]
+    norm = sum(v * v for v in raw) ** 0.5 or 1.0
+    return {
+        "width": width, "height": height, "n_frames": n_frames,
+        "features": [float(v / norm) for v in raw],
+    }
+
+
+def media_features(df: DataFrame, url_col: str = "url",
+                   bytes_col: str = "html") -> DataFrame:
+    """binary column → typed media metadata + feature vector, batched."""
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for u, data in zip(pdf[url_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                meta = decode_media(data)
+                rows.append({
+                    "url": u,
+                    "media_type": sniff_media_type(data),
+                    "n_bytes": len(data),
+                    **meta,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(url_col), F.col(bytes_col)) \
+        .mapInPandas(fn, schema=MEDIA_SCHEMA)

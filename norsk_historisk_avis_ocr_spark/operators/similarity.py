@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  Dot/norm built from ``zip_with``/``aggregate`` higher-order functions —
+  JVM-side, no Python. One pass over the table + a top-k (no full sort:
+  ORDER BY + LIMIT compiles to TakeOrderedAndProject).
+- :func:`ivf_topk` — the scale path: restrict the scan to the query's
+  coarse cell (here the provided ``label`` column stands in for a k-means
+  cell id; at 100 TB the table is partitioned by cell so this prunes
+  partitions at the scan).
+- :func:`lsh_bucket_topk` — random-hyperplane signs (deterministic planes
+  derived from the portable hash of (dim, plane)) — candidate bucket =
+  matching sign signature; exact re-rank inside the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def cosine_scores(emb: DataFrame, query_vec_id: int,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity of every row against one query row. The query
+    vector is a scalar subquery → broadcast literal; the scan stays
+    single-pass."""
+    q = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col(vec_col).alias("qv"))
+    crossed = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(q))
+    a = F.col(vec_col).cast("array<double>")
+    b = F.col("qv").cast("array<double>")
+    return crossed.select(
+        "vec_id", "label",
+        F.round(_dot(a, b) / (_norm(a) * _norm(b)), 3).alias("cos_sim"))
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact brute-force top-k by cosine (ties → lower vec_id first)."""
+    return cosine_scores(emb, query_vec_id) \
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()) \
+        .limit(k).select("vec_id", "cos_sim")
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (``label``)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("label").alias("qlabel"))
+    cell = emb.join(F.broadcast(q), F.col("label") == F.col("qlabel")) \
+        .drop("qlabel")
+    return cosine_scores(cell, query_vec_id) \
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()) \
+        .limit(k).select("vec_id", "cos_sim")
+
+
+def hyperplane_signature(emb: DataFrame, n_planes: int = 8,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Deterministic random-hyperplane LSH signature: plane p's component
+    for dimension d is ±1 by parity of a portable hash of (p, d). The
+    signature is an n_planes-bit int; equal signatures → candidate bucket."""
+    from ..functions.textqual import portable_hash60
+    a = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                a,
+                F.transform(F.sequence(F.lit(0), F.size(a) - 1),
+                            lambda d: F.when(
+                                portable_hash60(
+                                    F.concat_ws(":", F.lit(str(p)),
+                                                d.cast("string")))
+                                .bitwiseAND(F.lit(1)) == 1,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda x, s: x * s),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+        sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    return emb.withColumn("lsh_sig", sig)
+
+
+def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
+                    n_planes: int = 8) -> DataFrame:
+    """ANN via hyperplane-LSH bucket + exact re-rank inside the bucket."""
+    signed = hyperplane_signature(emb, n_planes)
+    q = signed.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("lsh_sig").alias("qsig"))
+    bucket = signed.join(F.broadcast(q), F.col("lsh_sig") == F.col("qsig"))
+    return cosine_scores(bucket, query_vec_id) \
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()) \
+        .limit(k).select("vec_id", "cos_sim")
