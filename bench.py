@@ -1,0 +1,129 @@
+"""Benchmark suite — prints ONE JSON line for the driver.
+
+Runs the headline extraction pipeline plus representative analytics/dedup
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Design notes (see BENCH/BASELINE.md for the scaling-efficiency evidence):
+
+- The synthetic pages table is materialized to parquet once (untimed):
+  production input is a stored pages table, and chaining the generator UDF
+  into the extraction stage would measure an artifact (two Python workers
+  per task slot) instead of the pipeline.
+- Extraction is timed against a noop sink (measures compute + Arrow
+  transfer, not local-disk write).
+- Every timed query runs once warm (the first run pays one-time Python
+  worker imports, reported separately as warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from norsk_historisk_avis_ocr_spark.operators import dedup as dd  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import extract_pages  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import quality as q  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import similarity as sim  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import windows as w  # noqa: E402
+from norsk_historisk_avis_ocr_spark.plans import build_session  # noqa: E402
+from norsk_historisk_avis_ocr_spark.sources import pages_df  # noqa: E402
+
+REPLICATE = int(os.environ.get("NHAO_BENCH_REPLICATE", "8"))
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    spark = build_session("bench", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="nhao_bench_")
+    pages_path = os.path.join(tmp, "pages")
+
+    def t(name): return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    try:
+        # untimed: materialize the synthetic pages table (production shape)
+        pages_df(spark, sf_dir, replicate=REPLICATE,
+                 partitions=cpus * 4).write.parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        n_docs = pages.count()
+
+        results: dict[str, float] = {}
+
+        # headline: extraction throughput (min of 2 timed runs, 1 warm run)
+        ext = extract_pages(pages)
+        t0 = time.time()
+        _noop(ext)
+        warmup_sec = time.time() - t0
+        ext_times = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop(ext)
+            ext_times.append(time.time() - t0)
+        extract_sec = min(ext_times)
+        results["extract_pipeline"] = round(extract_sec, 3)
+
+        analytics = {
+            "w1_islands": lambda: w.runlength_islands(t("events")),
+            "w4_reading_order": lambda: w.reading_order_concat(t("lineitem")),
+            "sessionize": lambda: w.sessionize(t("events")),
+            "agg_pricing": lambda: t("lineitem")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                           .cast("long")).alias("sum_cents"),
+                     F.count("*").alias("n")),
+            "broadcast_join": lambda: t("orders")
+                .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(t("nation")),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy("n_name").agg(F.count("*").alias("n")),
+            "dedup_minhash_lsh": lambda: dd.minhash_lsh_pairs(
+                t("documents"), est_threshold=0.125),
+            "simhash_values": lambda: dd.simhash_values(t("documents")),
+            "emb_cosine_topk": lambda: sim.cosine_topk(t("embeddings"), 0),
+            "lang_id": lambda: q.language_id(t("documents")),
+            "fingerprints": lambda: q.fingerprints(t("documents")),
+        }
+        for name, fn in analytics.items():
+            df = fn()
+            t0 = time.time()
+            _noop(df)
+            results[name] = round(time.time() - t0, 3)
+
+        total = round(sum(results.values()), 3)
+        print(json.dumps({
+            "metric": "bench suite wall time (headline: extract_docs_per_sec)",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": sf,
+            "docs": n_docs,
+            "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+            "extract_warmup_sec": round(warmup_sec, 3),
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,37 +90,40 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
                       est_threshold: float = 0.5) -> DataFrame:
     """MinHash+LSH near-dup candidates: band the signature (N_BANDS bands of
     N_MINHASH/N_BANDS rows), bucket-join on (band, band-key), then estimate
-    Jaccard as the fraction of equal signature components."""
+    Jaccard as the fraction of equal signature components.
+
+    Single-pass shape: the full signature rides along through one
+    ``posexplode`` of the band keys, so the bucket self-join yields both
+    signatures directly — one shuffle for signatures, one for the join, no
+    recomputation of the signature subtree per band (the naive
+    union-of-bands plan recomputes it N_BANDS times) and no second join
+    back to signatures.
+    """
     sig = minhash_signatures(docs, k)
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *cols)).alias("band_key")))
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
+    band_keys = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)]))
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = a.join(b, (F.col("a.band") == F.col("b.band")) &
+    eq = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return a.join(b, (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.band_key") == F.col("b.band_key")) &
                   (F.col("a.doc_id") < F.col("b.doc_id"))) \
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b")).distinct()
-
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    eq = sum(F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-             for i in range(N_MINHASH))
-    return cand \
-        .join(sa, cand.doc_a == F.col("sa.doc_id")) \
-        .join(sb, cand.doc_b == F.col("sb.doc_id")) \
-        .select("doc_a", "doc_b",
+                F.col("b.doc_id").alias("doc_b"),
                 F.round(eq / F.lit(float(N_MINHASH)), 6).alias("est_jaccard")) \
+        .distinct() \
         .filter(F.col("est_jaccard") >= est_threshold)
 
 

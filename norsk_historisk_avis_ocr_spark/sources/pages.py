@@ -164,12 +164,18 @@ def pages_rows(doc_rows) -> list[dict]:
 
 
 def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1,
-             with_sidecar: bool = False) -> DataFrame:
+             with_sidecar: bool = False,
+             partitions: int | None = None) -> DataFrame:
     """Distributed pages table synthesized from ``{sf_dir}/documents.parquet``.
 
     ``replicate`` fans each document out to N distinct pages (distinct
     doc_id/url/noise) so the bench can scale row count without external
     data. Generation runs inside ``mapInPandas`` — no driver-side loops.
+
+    ``partitions``: the sandbox documents parquet is one tiny file → one
+    input split → a serial pipeline regardless of cores. Repartitioning the
+    *row stream before generation* restores the parallelism a real 100 TB
+    multi-file scan gets for free from splittable input.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
@@ -178,6 +184,8 @@ def pages_df(spark: SparkSession, sf_dir: str, replicate: int = 1,
         docs = docs.crossJoin(F.broadcast(reps)).select(
             (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
             "text", "lang")
+    if partitions:
+        docs = docs.repartition(partitions, F.col("doc_id"))
 
     schema = SIDECAR_SCHEMA if with_sidecar else PAGES_SCHEMA
     sidecar = with_sidecar
