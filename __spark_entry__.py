@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
         "emb_lsh_topk":
             lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5),
+        "emb_dup_pairs":
+            lambda s, sf: sim.embedding_dup_pairs(_t(s, sf, "embeddings"),
+                                                  threshold=0.4),
+        "emb_dup_pairs_lsh":
+            lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
+                                                      threshold=0.3),
         # -- text analysis ---------------------------------------------------
         "lang_id": lambda s, sf: q.language_id(_t(s, sf, "documents")),
         "token_counts": lambda s, sf: q.token_counts(_t(s, sf, "documents")),
@@ -450,6 +456,23 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
 """,
         "emb_cosine_topk": cos +
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
+        "emb_dup_pairs": """
+SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])))), 3)
+           AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])))), 3) >= 0.4
+""",
         "emb_ivf_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
            FROM embeddings WHERE vec_id = 0),

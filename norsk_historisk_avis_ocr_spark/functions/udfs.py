@@ -20,8 +20,8 @@ from pyspark.sql.types import (
 from ..stages.htmlparse import extract_sections
 from ..stages.normalize import OrthographyNormalizer
 from ..stages.textops import (
-    clean_divider_noise, combine_sections, reflow_text, section_spans,
-    transcribe_sections,
+    clean_divider_noise, combine_sections, readable_diff, reflow_text,
+    section_spans, transcribe_sections,
 )
 
 SPAN_TYPE = ArrayType(StructType([
@@ -46,6 +46,7 @@ RESULT_SCHEMA = StructType([
     StructField("combined", StringType(), False),
     StructField("transcribed", StringType(), False),
     StructField("normalized", StringType(), True),
+    StructField("correction_changes", StringType(), True),
     StructField("spans", SPAN_TYPE, False),
     StructField("metrics", METRICS_TYPE, False),
 ])
@@ -74,10 +75,15 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None)
     spans = section_spans(sections, labels)
 
     normalized = None
+    changes = None
     if normalizer is not None:
         # normalize the flowing text (sans trailing newline), mirroring the
-        # correction pass input (``tesseract_claude_engine.py:108-122``)
-        normalized = normalizer.normalize(transcribed[:-1]) + "\n"
+        # correction pass input (``tesseract_claude_engine.py:108-122``);
+        # the word-level change report mirrors correction-changes.txt
+        # (``tesseract_claude_engine.py:126-133``)
+        body = transcribed[:-1]
+        normalized = normalizer.normalize(body) + "\n"
+        changes = readable_diff(body, normalized[:-1])
 
     raws = ([header_raw] if header_raw is not None else []) + column_raws
     n_dropped = sum(1 for raw in raws for ln in raw.split("\n")
@@ -92,6 +98,7 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None)
         "combined": combined,
         "transcribed": transcribed,
         "normalized": normalized,
+        "correction_changes": changes,
         "spans": spans,
         "metrics": {
             "n_blocks": len(sections),

@@ -51,6 +51,20 @@ def split_quarantine(pages: DataFrame,
     return good, bad
 
 
+def size_bucketed_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew-handling repartition on html byte length (north-star
+    requirement): range-partition on (log2-size-class, hash) so each task
+    holds pages of one size class — task costs become homogeneous, the
+    heavy tail is split across as many tasks as its row share warrants,
+    and the scheduler's FIFO over many uniform tasks balances the stage
+    (longest-task-last stragglers disappear). AQE coalescing then merges
+    the small-class tasks.
+    """
+    size_class = F.floor(F.log2(F.greatest(F.length("html"), F.lit(1))))
+    return pages.repartitionByRange(num_partitions, size_class,
+                                    F.xxhash64("url"))
+
+
 def extract_pages(pages: DataFrame, normalize: bool = True,
                   decorrelate: bool = False,
                   num_partitions: int | None = None) -> DataFrame:

@@ -99,3 +99,40 @@ def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
     return cosine_scores(bucket, query_vec_id) \
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()) \
         .limit(k).select("vec_id", "cos_sim")
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (the correctness
+    baseline for embedding dedup). All-pairs — use only on a bounded
+    candidate set; the scale path is :func:`embedding_dup_pairs_lsh`."""
+    a = emb.select(F.col("vec_id").alias("vid_a"),
+                   F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vid_b"),
+                   F.col("embedding").cast("array<double>").alias("eb"))
+    pairs = a.join(b, F.col("vid_a") < F.col("vid_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return pairs.select(
+        "vid_a", "vid_b", F.round(cos, 3).alias("cos_sim")) \
+        .filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                            n_planes: int = 8) -> DataFrame:
+    """Scale path for embedding dedup: hyperplane-LSH bucket candidates
+    (equal signature → probable high cosine), exact verify inside buckets.
+    Recall < 1 by construction (bucket misses); at 10^12 rows you run
+    several plane families and union, trading recall for the avoided
+    cross join."""
+    signed = hyperplane_signature(emb, n_planes)
+    a = signed.select(F.col("vec_id").alias("vid_a"),
+                      F.col("embedding").cast("array<double>").alias("ea"),
+                      F.col("lsh_sig").alias("sig_a"))
+    b = signed.select(F.col("vec_id").alias("vid_b"),
+                      F.col("embedding").cast("array<double>").alias("eb"),
+                      F.col("lsh_sig").alias("sig_b"))
+    pairs = a.join(b, (F.col("sig_a") == F.col("sig_b")) &
+                   (F.col("vid_a") < F.col("vid_b")))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return pairs.select(
+        "vid_a", "vid_b", F.round(cos, 3).alias("cos_sim")) \
+        .filter(F.col("cos_sim") >= threshold)

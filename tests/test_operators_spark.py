@@ -1,0 +1,182 @@
+"""Hand-computed small-case tests for the relational operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from norsk_historisk_avis_ocr_spark.operators import dedup as dd
+from norsk_historisk_avis_ocr_spark.operators import quality as q
+from norsk_historisk_avis_ocr_spark.operators import similarity as sim
+from norsk_historisk_avis_ocr_spark.operators import windows as w
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # user 1, type a: ids 1,2,3, 7,8 → islands (1-3, len3), (7-8, len2)
+    # user 1, type b: id 4          → island (4, len1)
+    # user 2, type a: ids 10,11     → island (10-11, len2)
+    rows = [(1, "a", 1, 1.0), (1, "a", 2, 2.0), (1, "a", 3, 3.0),
+            (1, "a", 7, 4.0), (1, "a", 8, 5.0), (1, "b", 4, 6.0),
+            (2, "a", 10, 7.0), (2, "a", 11, 8.0)]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, value double")
+
+
+def test_runlength_islands(events):
+    got = {(r.user_id, r.event_type, r.island_start): (r.island_end, r.island_len)
+           for r in w.runlength_islands(events).collect()}
+    assert got == {(1, "a", 1): (3, 3), (1, "a", 7): (8, 2),
+                   (1, "b", 4): (4, 1), (2, "a", 10): (11, 2)}
+
+
+def test_largest_island_leftmost_tie(spark):
+    # user 1 has two islands of len 2 → leftmost (1-2) wins
+    rows = [(1, "a", 1), (1, "a", 2), (1, "a", 5), (1, "a", 6)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, event_id long")
+    got = w.largest_island_per_user(df).collect()
+    assert len(got) == 1
+    assert (got[0].island_start, got[0].island_end, got[0].island_len) == (1, 2, 2)
+
+
+def test_moving_average_window_frame(events):
+    rows = {r.event_id: r.smoothed
+            for r in w.moving_average(events, half_window=1).collect()
+            if r.user_id == 1}
+    # user 1 ordered by event_id: (1,1.0)(2,2.0)(3,3.0)(7,4.0)(8,5.0)(4,6.0)?
+    # no — type doesn't partition; order: 1,2,3,4,7,8 values 1,2,3,6,4,5
+    assert rows[1] == pytest.approx(1.5)   # (1+2)/2
+    assert rows[2] == pytest.approx(2.0)   # (1+2+3)/3
+    assert rows[4] == pytest.approx(4.333333)  # (3+6+4)/3
+
+
+def test_upper_median_is_len_div_2(spark):
+    # 4 values sorted [1,2,3,9] → element at idx 4//2 = 2 → 3 (not 2.5)
+    rows = [("A", 1.0, 1, 1), ("A", 9.0, 1, 2), ("A", 2.0, 1, 3), ("A", 3.0, 1, 4)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_orderkey long, l_linenumber int")
+    got = w.upper_median(df).collect()
+    assert got[0].upper_median_qty == 3.0
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, "2020-01-01 00:00:00"), (1, "2020-01-01 00:10:00"),
+            (1, "2020-01-01 01:00:00"),  # 50min gap → new session
+            (2, "2020-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = sorted([(r.user_id, r.n_events) for r in w.sessionize(df).collect()])
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x"), (4, "x")], "doc_id long, text string")
+    got = dd.exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert (got[0].keep_id, got[0].n_members) == (1, 3)
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    text = "en to tre fire fem seks"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "helt annerledes innhold her nå ja")],
+        "doc_id long, text string")
+    got = dd.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert len(got) == 1
+    assert (got[0].doc_a, got[0].doc_b, got[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_identical(spark):
+    text = "en to tre fire fem seks sju åtte ni ti"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "noe helt annet står skrevet i denne")],
+        "doc_id long, text string")
+    got = dd.minhash_lsh_pairs(df, est_threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.est_jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_and_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")],
+        "doc_id long, text string")
+    vals = {r.doc_id: r.simhash for r in dd.simhash_values(df).collect()}
+    assert vals[1] == vals[2] != vals[3]
+    pairs = dd.simhash_dup_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1),
+            (3, [0.7071, 0.7071], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.cosine_topk(df, 0, k=3).collect()
+    assert [r.vec_id for r in got] == [1, 3, 2]
+    assert got[0].cos_sim == 1.0
+    assert got[1].cos_sim == pytest.approx(0.707, abs=1e-3)
+    assert got[2].cos_sim == 0.0
+
+
+def test_ivf_restricts_to_cell(spark):
+    rows = [(0, [1.0, 0.0], 7), (1, [1.0, 0.1], 7), (2, [1.0, 0.0], 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.ivf_topk(df, 0, k=5).collect()
+    assert [r.vec_id for r in got] == [1]  # vec 2 is in another cell
+
+
+def test_lsh_bucket_contains_identical(spark):
+    rows = [(0, [0.5, -0.25, 1.0], 0), (1, [0.5, -0.25, 1.0], 0),
+            (2, [-0.5, 0.25, -1.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.lsh_bucket_topk(df, 0, k=5).collect()
+    ids = [r.vec_id for r in got]
+    assert 1 in ids          # identical vector always shares the bucket
+    assert 2 not in ids      # antipode never does (all signs flip)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "og det som ikke hvad på av"),
+         (3, "zzz qqq www")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in q.language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "no"  # 'no' beats 'da' on hits (på, av vs af)
+    assert got[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "ab 12 c-d"), (2, "   ")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+           for r in q.token_counts(df).collect()}
+    assert got[1] == (3, 5)  # ws: [ab,12,c-d]; bpe: ab,12,c,-,d
+    assert got[2][0] == 0
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "abcdefghij")],
+                               "doc_id long, text string")
+    got = [r.fp for r in q.fingerprints(df).collect()]
+    assert got[0] == got[1] is not None
+
+
+def test_embedding_dup_pairs_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.embedding_dup_pairs(df, threshold=0.9).collect()
+    assert [(r.vid_a, r.vid_b) for r in got] == [(0, 1)]
+    assert got[0].cos_sim == pytest.approx(1.0, abs=2e-3)
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vid_a, r.vid_b)
+             for r in sim.embedding_dup_pairs(df, threshold=0.3).collect()}
+    lsh = {(r.vid_a, r.vid_b)
+           for r in sim.embedding_dup_pairs_lsh(df, threshold=0.3).collect()}
+    assert lsh <= exact          # LSH never invents pairs
+    assert (0, 100) in lsh       # identical vectors always share the bucket

@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted.
+
+`.explain`-driven checks (SURVEY.md §4): column pruning must reach the
+parquet scan under the extraction UDF, small dims must broadcast, the
+resume anti-join must not blow up, and the pipeline must stay map-only.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from norsk_historisk_avis_ocr_spark.operators import extract_pages, resume_filter
+from norsk_historisk_avis_ocr_spark.operators import windows as w
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, sf_dir, tmp_path_factory):
+    from norsk_historisk_avis_ocr_spark.sources import pages_df
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_df(spark, sf_dir).write.parquet(path)
+    return path
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_scan_prunes_columns(spark, pages_parquet):
+    """The extraction UDF needs url+html only; warc_ts/text/lang must be
+    pruned at the scan (ReadSchema), not filtered later."""
+    df = extract_pages(spark.read.parquet(pages_parquet))
+    plan = _plan(df)
+    scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_line, plan
+    schema = scan_line[0].split("ReadSchema:")[1]
+    assert "html" in schema and "url" in schema
+    assert "warc_ts" not in schema and "lang" not in schema, schema
+
+
+def test_extract_is_map_only(spark, pages_parquet):
+    df = extract_pages(spark.read.parquet(pages_parquet))
+    assert "Exchange" not in _plan(df)
+
+
+def test_broadcast_dim_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    joined = orders.join(customer, F.col("o_custkey") == F.col("c_custkey")) \
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = docs.filter(F.col("n_chars") > 300).select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" \
+        in plan or "GreaterThan(n_chars,300)" in plan, plan
+
+
+def test_resume_antijoin_single_join(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    done = pages.select("url").limit(10)
+    plan = _plan(resume_filter(pages, done, broadcast_done=True))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_ops_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(1, "a", i) for i in range(5)],
+        "user_id long, event_type string, event_id long")
+    plan = _plan(w.runlength_islands(df))
+    # one shuffle for the window, reused by the aggregation on a superset key
+    assert plan.count("Exchange") <= 2
+
+
+def test_size_bucketed_repartition_plan(spark, pages_parquet):
+    from norsk_historisk_avis_ocr_spark.operators import (
+        size_bucketed_repartition,
+    )
+    pages = spark.read.parquet(pages_parquet)
+    df = size_bucketed_repartition(pages, 8)
+    plan = _plan(df)
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+    # still one shuffle only
+    assert plan.count("Exchange") == 1
+    assert df.count() == pages.count()
