@@ -95,6 +95,14 @@ def _dedup_exact_with_dupes(spark: SparkSession, sf: str) -> DataFrame:
     return exact_duplicates(docs.unionAll(dupes))
 
 
+def _salted_hot_key_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key skew pattern: salted two-phase count per event user (user_id
+    is Zipf-ish in events). The oracle is the plain GROUP BY — salting must
+    be value-invariant."""
+    from norsk_historisk_avis_ocr_spark.operators.skew import salted_count
+    return salted_count(_t(spark, sf, "events"), "user_id", n_salts=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extract_pipeline(spark, sf):
         _ensure_worker_path(spark)
@@ -184,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs_lsh":
             lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
                                                       threshold=0.3),
+        # -- skew handling ----------------------------------------------------
+        "salted_hot_key_count": _salted_hot_key_count,
         # -- text analysis ---------------------------------------------------
         "lang_id": lambda s, sf: q.language_id(_t(s, sf, "documents")),
         "token_counts": lambda s, sf: q.token_counts(_t(s, sf, "documents")),
@@ -485,6 +495,9 @@ s AS (
   FROM embeddings, q WHERE vec_id <> 0 AND label = qlabel
 )
 SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+""",
+        "salted_hot_key_count": """
+SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
 """,
         "lang_id": f"""
 WITH markers(cand_lang, word) AS (VALUES {markers}),

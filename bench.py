@@ -53,11 +53,26 @@ def main():
     spark = build_session("bench", master=f"local[{cpus}]",
                           shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # make every small file its own input split (see t() below)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
 
     tmp = tempfile.mkdtemp(prefix="nhao_bench_")
     pages_path = os.path.join(tmp, "pages")
 
-    def t(name): return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _tables: dict[str, str] = {}
+
+    def t(name):
+        # testdata tables are single tiny parquet files → one input split →
+        # narrow (shuffle-free) queries would run on one core. Production
+        # scans are multi-file/splittable; model that by pre-materializing a
+        # multi-file copy (untimed) and weighting file open cost so each
+        # file is its own split.
+        if name not in _tables:
+            path = os.path.join(tmp, f"t_{name}")
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")) \
+                .repartition(cpus).write.parquet(path)
+            _tables[name] = path
+        return spark.read.parquet(_tables[name])
 
     try:
         # untimed: materialize the synthetic pages table (production shape)

@@ -40,30 +40,33 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 
 def language_id(docs: DataFrame) -> DataFrame:
-    """Stopword-marker language classifier: explode tokens, join the
-    (lang, word) marker table (broadcast — it is tiny), count hits per
-    (doc, lang), keep the top language (ties → lexicographic lang).
+    """Stopword-marker language classifier, shuffle-free: per language,
+    hits = count of tokens in the marker set via array ``filter`` (the
+    marker table is a literal — the degenerate broadcast); winner = max
+    hits, ties → lexicographic language; zero hits → 'und'.
 
-    Documents with zero marker hits get lang 'und'.
+    (The explode → broadcast-join → window formulation computes the same
+    thing with two shuffles; this stays inside one project node — at
+    10^12 rows that is the difference between a scan and a job.)
     """
-    spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
-        "cand_lang string, word string")
+    toks = tokens(F.lower(F.col("text")))
+    langs = sorted(STOPWORDS)
+    def _hits(lang):
+        sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) \
+            .cast("long").alias(f"hits_{lang}")
 
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
-    hits = toks.join(F.broadcast(markers), "word") \
-        .groupBy("doc_id", "cand_lang").agg(F.count("*").alias("hits"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("cand_lang").asc())
-    best = hits.withColumn("rn", F.row_number().over(w)) \
-        .filter("rn = 1").select("doc_id", "cand_lang", "hits")
-    return docs.select("doc_id").join(best, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
-        F.coalesce("hits", F.lit(0)).alias("marker_hits"),
-    )
+    hit_cols = [_hits(lang) for lang in langs]
+    scored = docs.select("doc_id", *hit_cols)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((best_hits > 0) & (F.col(f"hits_{lang}") == best_hits),
+                      F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"),
+        F.when(best_hits > 0, best_hits).otherwise(F.lit(0).cast("long"))
+         .alias("marker_hits"))
 
 
 def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
