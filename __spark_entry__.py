@@ -95,6 +95,15 @@ def _dedup_exact_with_dupes(spark: SparkSession, sf: str) -> DataFrame:
     return exact_duplicates(docs.unionAll(dupes))
 
 
+def _dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level exact dedup over the planted-duplicate corpus: only the
+    original (smaller) ids survive."""
+    from norsk_historisk_avis_ocr_spark.operators.dedup import dedup_keep_first
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup_keep_first(docs.unionAll(dupes)).select("doc_id")
+
+
 def _salted_hot_key_count(spark: SparkSession, sf: str) -> DataFrame:
     """Hot-key skew pattern: salted two-phase count per event user (user_id
     is Zipf-ish in events). The oracle is the plain GROUP BY — salting must
@@ -192,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs_lsh":
             lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
                                                       threshold=0.3),
+        "dedup_keep_first": _dedup_keep_first,
         # -- skew handling ----------------------------------------------------
         "salted_hot_key_count": _salted_hot_key_count,
         # -- text analysis ---------------------------------------------------
@@ -495,6 +505,17 @@ s AS (
   FROM embeddings, q WHERE vec_id <> 0 AND label = qlabel
 )
 SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+""",
+        "dedup_keep_first": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+)
+SELECT doc_id FROM keepers
 """,
         "salted_hot_key_count": """
 SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id

@@ -37,6 +37,30 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     ).filter("n_members >= 2")
 
 
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Exact-dedup materializer: the corpus with only the keeper (min
+    doc_id) of each identical-text group — the row-level counterpart of
+    :func:`exact_duplicates`. One aggregation + one self-semi-join on the
+    keeper key; no window over the full corpus."""
+    keepers = docs.groupBy(F.md5("text").alias("_h")) \
+        .agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+
+def drop_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Remove near-duplicates given a (doc_a < doc_b) pairs DataFrame (from
+    minhash_lsh_pairs / simhash_dup_pairs / ngram_jaccard_pairs): every doc
+    that appears as the *larger* id of a pair is dropped, keeping the
+    smallest id of each duplicate chain reachable by descending ids.
+
+    (Full transitive clustering is a connected-components job — iterative,
+    out of scope for one pass; keep-smallest-of-pair is the standard
+    one-pass policy and is idempotent.)
+    """
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs, distinct — shared base for Jaccard/MinHash."""
     return docs.select(

@@ -58,3 +58,44 @@ def test_malformed_html_is_total():
     bad = b"<html><body><div><td>ufullstendig <b>markup"
     header, cols = extract_sections(bad)
     assert cols  # never raises, always yields sections
+
+
+def test_generator_edge_cases_present_and_handled(documents_rows):
+    """FIXTURES.md §1 edge rows: each planted edge case appears in the
+    corpus and takes its intended path."""
+    by_mod = lambda m: [d for d in documents_rows if d["doc_id"] % m == 0]
+    # empty body (boilerplate only)
+    for d in by_mod(13):
+        p = build_page(d["doc_id"], d["text"], d["lang"])
+        assert p["planted_columns"] == []
+        assert extract_sections(p["html"]) == (None, [""])
+    # single column, no table markup
+    for d in by_mod(11):
+        if d["doc_id"] % 13 == 0:
+            continue
+        p = build_page(d["doc_id"], d["text"], d["lang"])
+        hdr, cols = extract_sections(p["html"])
+        assert hdr is None and len(cols) == 1
+    # masthead absent
+    no_head = [d for d in documents_rows
+               if d["doc_id"] % 7 == 0 and d["doc_id"] % 13 != 0]
+    assert no_head
+    for d in no_head:
+        p = build_page(d["doc_id"], d["text"], d["lang"])
+        assert p["planted_header"] is None
+    # all-garbage column reflows to empty and is dropped from transcribed
+    from norsk_historisk_avis_ocr_spark.stages import (
+        clean_divider_noise, transcribe_sections,
+    )
+    garbage_docs = [d for d in documents_rows
+                    if d["doc_id"] % 17 == 0
+                    and d["doc_id"] % 13 != 0 and d["doc_id"] % 11 != 0]
+    assert garbage_docs
+    for d in garbage_docs:
+        p = build_page(d["doc_id"], d["text"], d["lang"])
+        cleaned = [clean_divider_noise(c) for c in p["planted_columns"]]
+        n_nonempty = sum(
+            1 for c in cleaned
+            if c.strip() and transcribe_sections([c]) != "\n")
+        out = transcribe_sections(cleaned)
+        assert out.count("\n\n") <= max(n_nonempty - 1, 0) + 1

@@ -180,3 +180,19 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
            for r in sim.embedding_dup_pairs_lsh(df, threshold=0.3).collect()}
     assert lsh <= exact          # LSH never invents pairs
     assert (0, 100) in lsh       # identical vectors always share the bucket
+
+
+def test_dedup_keep_first_materializer(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "y")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dd.dedup_keep_first(df).collect())
+    assert kept == [1, 2, 4]
+
+
+def test_drop_near_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in dd.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 2]
