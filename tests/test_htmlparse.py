@@ -99,3 +99,25 @@ def test_generator_edge_cases_present_and_handled(documents_rows):
             if c.strip() and transcribe_sections([c]) != "\n")
         out = transcribe_sections(cleaned)
         assert out.count("\n\n") <= max(n_nonempty - 1, 0) + 1
+
+
+def test_fast_scanner_equals_stdlib(documents_rows):
+    """The regex scanner and stdlib HTMLParser drive one builder; assert
+    identical block streams over the whole corpus and adversarial cases."""
+    cases = [build_page(d["doc_id"], d["text"], d["lang"])["html"]
+             for d in documents_rows[:200]]
+    cases += [
+        b"<html><body><div><td>trunkert <b>markup",
+        b"\xff\xfe binaert \x00",
+        b"<!-- kommentar --><p>x &amp; y</p>",
+        "<div><script>if(a<b){x()}</script><p>etter</p></div>".encode(),
+        b"<style>td>a{color:red}</style><p>kropp</p>",
+        b"<div/><p>selvlukkende</p>",
+        "<p>&aelig;&oslash;&aring;</p>".encode(),
+    ]
+    for html in cases:
+        fast = [(b.tag, b.parent_tag, b.depth, b.text, b.link_chars)
+                for b in parse_blocks(html, engine="fast")]
+        std = [(b.tag, b.parent_tag, b.depth, b.text, b.link_chars)
+               for b in parse_blocks(html, engine="stdlib")]
+        assert fast == std
