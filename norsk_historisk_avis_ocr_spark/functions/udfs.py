@@ -47,6 +47,7 @@ RESULT_SCHEMA = StructType([
     StructField("transcribed", StringType(), False),
     StructField("normalized", StringType(), True),
     StructField("correction_changes", StringType(), True),
+    StructField("final", StringType(), False),
     StructField("spans", SPAN_TYPE, False),
     StructField("metrics", METRICS_TYPE, False),
 ])
@@ -99,6 +100,10 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None)
         "transcribed": transcribed,
         "normalized": normalized,
         "correction_changes": changes,
+        # X5 best-of fallback: corrected text if the correction pass ran,
+        # else the reflowed text (``coalesce`` semantics,
+        # ``tesseract_claude_engine.py:134-137``)
+        "final": normalized if normalized is not None else transcribed,
         "spans": spans,
         "metrics": {
             "n_blocks": len(sections),

@@ -202,6 +202,27 @@ def _scan_fast(html_str: str) -> list[Block]:
     return b.finish()
 
 
+_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I)
+
+
+def decode_page_bytes(html: bytes) -> str:
+    """Charset-aware page decode: honor a ``<meta charset=...>`` in the
+    first 2 KB (Common-Crawl pages are not all UTF-8 — ISO-8859-1 is
+    common for historical Norwegian sites), else UTF-8; undecodable bytes
+    are replaced, never fatal (quarantine-free totality, mirroring the
+    reference's per-file error isolation ``ocr.py:159-163``)."""
+    m = _CHARSET.search(html[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "ignore").lower()
+        if enc not in ("utf-8", "utf8"):
+            try:
+                return html.decode(enc, errors="replace")
+            except LookupError:
+                pass
+    return html.decode("utf-8", errors="replace")
+
+
 def parse_blocks(html: bytes | str, engine: str = "fast") -> list[Block]:
     """Decode page bytes into the flat leaf-block stream (document order).
 
@@ -210,7 +231,7 @@ def parse_blocks(html: bytes | str, engine: str = "fast") -> list[Block]:
     input and produce identical blocks on well-formed markup (tested).
     """
     if isinstance(html, bytes):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_page_bytes(html)
     if engine == "stdlib":
         p = _BlockParser()
         p.feed(html)

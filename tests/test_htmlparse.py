@@ -121,3 +121,20 @@ def test_fast_scanner_equals_stdlib(documents_rows):
         std = [(b.tag, b.parent_tag, b.depth, b.text, b.link_chars)
                for b in parse_blocks(html, engine="stdlib")]
         assert fast == std
+
+
+def test_charset_sniffing_latin1():
+    body = "<html><head><meta charset=\"iso-8859-1\"></head><body><p>blåbærsyltetøy</p></body></html>"
+    html = body.encode("iso-8859-1")
+    header, cols = extract_sections(html)
+    assert cols == ["blåbærsyltetøy"]
+
+
+def test_charset_default_utf8():
+    html = "<p>blåbær</p>".encode("utf-8")
+    assert extract_sections(html)[1] == ["blåbær"]
+
+
+def test_charset_unknown_falls_back():
+    html = b"<meta charset='no-such-codec'><p>tekst her</p>"
+    assert extract_sections(html)[1] == ["tekst her"]

@@ -101,3 +101,12 @@ def test_extract_decorrelate_plan_is_single_shuffle(spark, sf_dir):
     df = extract_pages(pages_df(spark, sf_dir), decorrelate=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("exchange") <= 1
+
+
+def test_final_column_coalesce(spark, sf_dir):
+    with_norm = extract_pages(pages_df(spark, sf_dir).limit(10))
+    for r in with_norm.select("final", "normalized").collect():
+        assert r.final == r.normalized
+    without = extract_pages(pages_df(spark, sf_dir).limit(10), normalize=False)
+    for r in without.select("final", "transcribed", "normalized").collect():
+        assert r.normalized is None and r.final == r.transcribed
