@@ -52,16 +52,18 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
     from .extract import extract_pages, split_quarantine
 
     done = read_done_urls(spark, out_path)
+    n_before = done.count()  # parquet metadata count — no scan
     todo = resume_filter(pages, done)
     good, bad = split_quarantine(todo)
     results = extract_pages(good, **(extract_kwargs or {}))
-    results = results.persist()
-    n = results.count()
-    if n:
-        write_results(results, out_path)
-        if lineage_path:
-            lineage = partition_lineage(results) \
-                .withColumn("committed_at", F.lit(int(time.time())))
-            write_lineage(lineage, lineage_path)
-    results.unpersist()
+    # single pass: write directly (no persist/count pre-materialization —
+    # results carry several large text columns and caching them doubles
+    # memory traffic); batch size comes from committed-count deltas
+    write_results(results, out_path)
+    n = read_done_urls(spark, out_path).count() - n_before
+    if n and lineage_path:
+        lineage = partition_lineage(
+            spark.read.parquet(out_path).join(done, "url", "left_anti")) \
+            .withColumn("committed_at", F.lit(int(time.time())))
+        write_lineage(lineage, lineage_path)
     return n

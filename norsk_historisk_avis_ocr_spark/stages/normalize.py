@@ -141,6 +141,63 @@ class OrthographyNormalizer:
         return "".join(out)
 
 
+# OCR confusion-pair classes from the reference's correction prompt
+# (``_correction.py:21-22``): what the OCR *misreads* → what was printed.
+# Each (bad, good) substring pair generates rewrite variants over a lexicon.
+CONFUSION_PAIRS: list[tuple[str, str]] = [
+    ("rn", "m"), ("li", "h"), ("cl", "d"), ("ii", "u"), ("vv", "w"),
+    ("o", "ø"), ("ae", "æ"), ("aa", "å"),
+]
+
+
+def build_confusion_table(lexicon: list[str],
+                          pairs: list[tuple[str, str]] = CONFUSION_PAIRS,
+                          ) -> dict[str, str]:
+    """Expand a lexicon of *correct* historical-Norwegian words into a
+    rewrite table: for each word, every single substitution of a confusion
+    pair applied in reverse (good → bad) yields a plausible OCR misreading
+    that maps back to the word.
+
+    Deterministic; collisions (a misreading reachable from two words, or a
+    misreading that is itself a lexicon word) are dropped — the correction
+    prompt's "if ambiguous, leave as-is" rule (``_correction.py:28-31``).
+    """
+    lex = set(lexicon)
+    table: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    for word in lexicon:
+        for bad, good in pairs:
+            start = 0
+            while True:
+                i = word.find(good, start)
+                if i < 0:
+                    break
+                variant = word[:i] + bad + word[i + len(good):]
+                start = i + 1
+                if variant == word or variant in lex:
+                    continue
+                if variant in table and table[variant] != word:
+                    ambiguous.add(variant)
+                    continue
+                table[variant] = word
+    for v in ambiguous:
+        table.pop(v, None)
+    return table
+
+
+# Common 1950s-register Norwegian words whose confusion variants the
+# default table covers (the reference prompt's example classes).
+DEFAULT_LEXICON: list[str] = [
+    "mann", "menn", "samme", "kommer", "med", "hjem", "sommer", "mot",
+    "normal", "morgen", "mellom", "time", "fram", "ham", "dem", "om",
+    "har", "han", "hele", "hus", "hva", "hvor", "hennes", "holder",
+    "det", "den", "der", "dag", "din", "du", "dere", "drar",
+    "først", "større", "høyere", "sjø", "kjøpe", "gjøre", "møte", "øre",
+    "være", "nærmere", "lærer", "bærer", "færre", "kjærlighet",
+    "år", "båt", "måtte", "språk", "nå", "står",
+    "avis", "nyheter", "kommune", "regjeringen", "stortinget",
+]
+
 # Default rewrite table: OCR confusion fixes mirroring the reference prompt's
 # rule classes (rn→m, li→h, cl→d, ø→o, æ→ae, doubled/missing letters) applied
 # to common 1950s Norwegian words, as whole-token rewrites.
@@ -173,4 +230,8 @@ DEFAULT_PRESERVE: frozenset[str] = frozenset({
 
 
 def default_normalizer() -> OrthographyNormalizer:
-    return OrthographyNormalizer(DEFAULT_TABLE, DEFAULT_PRESERVE)
+    """Hand-curated table + systematic confusion expansion of the default
+    lexicon; explicit entries win over generated ones."""
+    table = build_confusion_table(DEFAULT_LEXICON)
+    table.update(DEFAULT_TABLE)
+    return OrthographyNormalizer(table, DEFAULT_PRESERVE)

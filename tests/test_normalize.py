@@ -47,3 +47,24 @@ def test_table_roundtrip():
     n2 = OrthographyNormalizer(table, preserve)
     sample = "Rnann sa hvad clet var, for di sarnme dag."
     assert n2.normalize(sample) == n.normalize(sample)
+
+
+def test_build_confusion_table_roundtrip():
+    from norsk_historisk_avis_ocr_spark.stages.normalize import (
+        CONFUSION_PAIRS, DEFAULT_LEXICON, build_confusion_table,
+    )
+    t = build_confusion_table(DEFAULT_LEXICON)
+    assert t["rnann"] == "mann"
+    assert t["lijem"] == "hjem"
+    assert t["aar"] == "år"
+    # no lexicon word is ever a key (would rewrite correct text)
+    assert not set(t) & set(DEFAULT_LEXICON)
+    # deterministic
+    assert t == build_confusion_table(DEFAULT_LEXICON)
+
+
+def test_generated_variants_normalize():
+    n = default_normalizer()
+    assert n.normalize("clen liolder vaere spraak") == "den holder være språk"
+    # real words outside the table untouched
+    assert n.normalize("korn og hav") == "korn og hav"
