@@ -68,3 +68,29 @@ def test_generated_variants_normalize():
     assert n.normalize("clen liolder vaere spraak") == "den holder være språk"
     # real words outside the table untouched
     assert n.normalize("korn og hav") == "korn og hav"
+
+
+def test_normalizer_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+    from norsk_historisk_avis_ocr_spark.stages.normalize import (
+        DEFAULT_LEXICON, DEFAULT_TABLE,
+    )
+    n = default_normalizer()
+    vocab = (list(DEFAULT_TABLE) + DEFAULT_LEXICON
+             + ["hvad", "bleven", "xyzzy", "og", "«ord»", "slutt."])
+    token = st.sampled_from(vocab)
+    sep = st.sampled_from([" ", "\n", "\n\n", "  "])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(token, sep), max_size=12))
+    def prop(pairs):
+        text = "".join(t + s for t, s in pairs).rstrip()
+        out = n.normalize(text)
+        # idempotent: replacement words are never themselves rewrite keys
+        assert n.normalize(out) == out
+        # whitespace runs preserved where no multi-token rule fired
+        import re
+        if len(re.split(r"\s+", out)) == len(re.split(r"\s+", text)):
+            assert re.findall(r"\s+", out) == re.findall(r"\s+", text)
+
+    prop()
