@@ -8,9 +8,9 @@ SQL-expressible one has a value-exact DuckDB oracle in ``oracle_sql()``.
 Cross-engine value identity strategy: every float-bearing output is either
 derived from exact-integer intermediates with a fixed fp expression tree
 (identical operands → identical IEEE result in both engines) or rounded at a
-scale far above accumulated fp error. Hashes use the portable 60-bit md5
-hash computed identically in Spark (``conv(substr(md5(x),1,15),16,10)``) and
-DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``).
+scale far above accumulated fp error. Hashes use the portable 56-bit md5
+hash computed identically in Spark (``conv(substr(md5(x),1,14),16,10)``) and
+DuckDB (``('0x' || substr(md5(x),1,14))::BIGINT``).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@
 Everything is relational (explode → aggregate → join) so it scales
 horizontally: no pairwise O(n²) comparisons except *within LSH candidate
 buckets*, which is the entire point of the banding scheme. Hash functions
-are the portable 60-bit md5 hash (``functions/textqual.py``) so the DuckDB
+are the portable 56-bit md5 hash (``functions/textqual.py``) so the DuckDB
 oracle computes identical values.
 
 Scale shape per operator (n docs, s shingles/doc):
@@ -17,7 +17,7 @@ Scale shape per operator (n docs, s shingles/doc):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
@@ -160,9 +160,9 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
 
 
 def simhash_values(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash per doc over distinct whitespace tokens: per bit
+    """56-bit SimHash per doc over distinct whitespace tokens: per bit
     plane, sum ±1 contributions of token hashes; bit set iff sum > 0.
-    Fully relational: tokens × 60 bit planes → two aggregations."""
+    Fully relational: tokens × 56 bit planes → two aggregations."""
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).distinct().withColumn("h", portable_hash60(F.col("tok")))

@@ -9,12 +9,12 @@ extraction and dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textqual import (
-    STOPWORDS, bpe_ish_token_count, fingerprint, portable_hash60,
-    quality_score, token_count, tokens,
+    STOPWORDS, bpe_ish_token_count, fingerprint, quality_score, token_count,
+    tokens,
 )
 
 
