@@ -65,6 +65,33 @@ def size_bucketed_repartition(pages: DataFrame, num_partitions: int) -> DataFram
                                     F.xxhash64("url"))
 
 
+def explode_sections(results: DataFrame) -> DataFrame:
+    """Wide result rows → one row per layout section (the ``blocks`` shape
+    of the SURVEY data model): (url, section, ord, start, end, text).
+
+    Reading order is the span order (header first, then columns left→right,
+    ``tesseract_engine.py:158-190``); section text is sliced from
+    ``combined`` by its span, so this is pure column algebra — no UDF, no
+    reparse.
+    """
+    sec = F.posexplode("spans").alias("ord", "span")
+    exploded = results.select("url", "combined", sec)
+    # spans are UTF-8 *byte* offsets; slice the encoded form
+    data = F.encode(F.col("combined"), "UTF-8")
+    body = F.decode(
+        # substring is 1-based; length = end - start
+        F.substring(data, F.col("span.start") + 1,
+                    F.col("span.end") - F.col("span.start")), "UTF-8")
+    return exploded.select(
+        "url",
+        F.col("span.section").alias("section"),
+        F.col("ord").cast("int").alias("ord"),
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        body.alias("text"),
+    )
+
+
 def extract_pages(pages: DataFrame, normalize: bool = True,
                   decorrelate: bool = False,
                   num_partitions: int | None = None) -> DataFrame:

@@ -110,3 +110,20 @@ def test_final_column_coalesce(spark, sf_dir):
     without = extract_pages(pages_df(spark, sf_dir).limit(10), normalize=False)
     for r in without.select("final", "transcribed", "normalized").collect():
         assert r.normalized is None and r.final == r.transcribed
+
+
+def test_explode_sections_matches_spans(spark, sf_dir):
+    from norsk_historisk_avis_ocr_spark.operators.extract import (
+        explode_sections,
+    )
+    res = extract_pages(pages_df(spark, sf_dir).limit(40)).cache()
+    rows = explode_sections(res).collect()
+    full = {r.url: r for r in res.collect()}
+    assert rows
+    for r in rows:
+        combined = full[r.url].combined.encode("utf-8")
+        assert combined[r.start:r.end].decode("utf-8") == r.text
+        if r.section == "header":
+            assert r.ord == 0
+            assert r.text == full[r.url].header
+    res.unpersist()
