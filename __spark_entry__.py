@@ -37,14 +37,35 @@ from norsk_historisk_avis_ocr_spark.sources import pages_df  # noqa: E402
 
 def _ensure_worker_path(spark: SparkSession) -> None:
     """Executor Python workers must import this repo's package even when the
-    driver was launched elsewhere (the --py-files analog for local mode)."""
+    caller's SparkSession was built elsewhere with an unrelated cwd/env.
+
+    PYTHONPATH exports only help before the JVM starts; for an already-live
+    session the reliable channel is ``addPyFile`` with a package zip — the
+    runtime equivalent of ``spark-submit --py-files`` (north rule)."""
     existing = os.environ.get("PYTHONPATH", "")
     if _REPO not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = _REPO + (
             os.pathsep + existing if existing else "")
+    sc = spark.sparkContext
+    if getattr(sc, "_nhao_pyfile_added", False):
+        return
     try:
-        spark.sparkContext.addPyFile  # touch to assert a live context
-    except Exception:  # pragma: no cover
+        import tempfile
+        import zipfile
+        pkg_dir = os.path.join(_REPO, "norsk_historisk_avis_ocr_spark")
+        zpath = os.path.join(tempfile.gettempdir(), "nhao_engine_pkg.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    if "__pycache__" in root:
+                        continue
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            z.write(full, os.path.relpath(full, _REPO))
+        sc.addPyFile(zpath)
+        sc._nhao_pyfile_added = True
+    except Exception:  # pragma: no cover - best effort
         pass
 
 

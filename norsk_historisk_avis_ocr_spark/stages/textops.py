@@ -123,6 +123,10 @@ def readable_diff(before: str, after: str) -> str:
     words of context from the *before* side, as a numbered list under a
     ``... correction changes (N edits):`` header.
     """
+    if before == after:
+        # byte-identical shortcut: difflib on equal sequences yields only
+        # 'equal' opcodes → same report, minus the O(n²) matcher
+        return "No changes detected."
     bw = before.split()
     aw = after.split()
     ctx_n = 3
