@@ -61,6 +61,58 @@ def drop_near_duplicates(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters from a near-dup pairs table: (doc_id,
+    component_id) with component_id = min doc id in the component.
+
+    Min-label propagation over the undirected edge set: each round joins
+    every node's current label against its neighbors' labels and keeps the
+    minimum, until a fixpoint (counted via a changed-labels aggregate).
+    O(diameter) rounds; duplicate clusters in web corpora are shallow
+    (near-cliques), so this converges in 2-3 rounds. Labels are
+    ``localCheckpoint``-ed per round to cut the iterative lineage —
+    at 10^12-row scale each round would be a table write instead (and the
+    alternating large-star/small-star variant halves round count; plain
+    propagation is kept for auditability).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionAll(rev).distinct().localCheckpoint(eager=False)
+
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node")) \
+        .localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nmin = edges.alias("e").join(
+            labels.alias("l"), F.col("e.dst") == F.col("l.node")) \
+            .groupBy(F.col("e.src").alias("node")) \
+            .agg(F.min("l.label").alias("nmin"))
+        new_labels = labels.alias("c").join(
+            nmin.alias("m"), F.col("c.node") == F.col("m.node"), "left") \
+            .select(F.col("c.node").alias("node"),
+                    F.least(F.col("c.label"),
+                            F.coalesce(F.col("m.nmin"), F.col("c.label")))
+                    .alias("label")) \
+            .localCheckpoint(eager=False)
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), F.col("n.node") == F.col("o.node")) \
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
+def dedup_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus minus all non-representative members of duplicate clusters
+    (transitive closure — stronger than :func:`drop_near_duplicates`)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc_id") != F.col("component_id")) \
+        .select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs, distinct — shared base for Jaccard/MinHash."""
     return docs.select(

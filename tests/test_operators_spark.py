@@ -196,3 +196,29 @@ def test_drop_near_duplicates(spark):
     pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
     kept = sorted(r.doc_id for r in dd.drop_near_duplicates(docs, pairs).collect())
     assert kept == [1, 2]
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3, pair 7-9, singleton 5 not in pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long")
+    comps = {r.doc_id: r.component_id
+             for r in dd.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long")
+    comps = {r.doc_id: r.component_id
+             for r in dd.connected_components(pairs).collect()}
+    assert set(comps.values()) == {1}
+    assert len(comps) == 12
+
+
+def test_dedup_by_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in dd.dedup_by_components(docs, pairs).collect())
+    assert kept == [1, 4, 5]
