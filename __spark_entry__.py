@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: w.sessionize(_t(s, sf, "events")),
         "a4_upper_median":
             lambda s, sf: w.upper_median(_t(s, sf, "lineitem")),
+        "topk_per_group":
+            lambda s, sf: w.topk_per_group(_t(s, sf, "orders"), k=3),
         # -- joins / filters / aggregates ----------------------------------
         "j1_resume_antijoin": _j1_antijoin,
         "p_filter_project":
@@ -375,6 +377,18 @@ WITH r AS (
 )
 SELECT l_returnflag, l_quantity AS upper_median_qty
 FROM r WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
+""",
+        "topk_per_group": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+             AS rank_in_group
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents, rank_in_group
+FROM r WHERE rank_in_group <= 3
 """,
         "j1_resume_antijoin": """
 SELECT c_custkey, c_name FROM customer c

@@ -94,6 +94,19 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
+def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """O5/A8-family: top-k rows per group with a total deterministic order
+    (value desc, key asc) — rank-within-partition, no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= k) \
+        .select("o_custkey", "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("price_cents"),
+                F.col("rn").cast("long").alias("rank_in_group"))
+
+
 def upper_median(lineitem: DataFrame) -> DataFrame:
     """A4 — the reference's *upper median*: element ``len//2`` of the sorted
     values (``engines/_columns.py:453-461``), not ``percentile(0.5)``.

@@ -222,3 +222,12 @@ def test_dedup_by_components(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     kept = sorted(r.doc_id for r in dd.dedup_by_components(docs, pairs).collect())
     assert kept == [1, 4, 5]
+
+
+def test_topk_per_group(spark):
+    rows = [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 7.0), (1, 13, 1.0),
+            (2, 20, 3.0)]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderkey long, o_totalprice double")
+    got = [(r.o_custkey, r.o_orderkey, r.rank_in_group)
+           for r in w.topk_per_group(df, k=2).orderBy("o_custkey", "rank_in_group").collect()]
+    assert got == [(1, 11, 1), (1, 12, 2), (2, 20, 1)]
