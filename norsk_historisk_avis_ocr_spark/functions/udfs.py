@@ -56,7 +56,8 @@ _SHORT_LINE = re.compile(r"^\s*\S{1,2}\s*$")
 _HYPHEN_BREAK = re.compile(r"-\n\s*")
 
 
-def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None):
+def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
+                with_diff: bool = True):
     """Full per-page extraction: the Spark analog of
     ``TesseractEngine.process_file`` (``engines/tesseract_engine.py:113-192``)
     with the LLM correction pass replaced by trie normalization."""
@@ -84,7 +85,8 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None)
         # (``tesseract_claude_engine.py:126-133``)
         body = transcribed[:-1]
         normalized = normalizer.normalize(body) + "\n"
-        changes = readable_diff(body, normalized[:-1])
+        if with_diff:
+            changes = readable_diff(body, normalized[:-1])
 
     raws = ([header_raw] if header_raw is not None else []) + column_raws
     n_dropped = sum(1 for raw in raws for ln in raw.split("\n")
@@ -116,19 +118,39 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None)
     }
 
 
-def extract_map_fn(normalize_table: tuple[dict, set] | None):
+def projected_schema(output_columns: list[str] | None) -> StructType:
+    """RESULT_SCHEMA restricted to the requested columns (declared order)."""
+    if not output_columns:
+        return RESULT_SCHEMA
+    want = set(output_columns) | {"url"}
+    return StructType([f for f in RESULT_SCHEMA.fields if f.name in want])
+
+
+def extract_map_fn(normalize_table: tuple[dict, set] | None,
+                   output_columns: list[str] | None = None):
     """Build the ``mapInPandas`` function. ``normalize_table`` is the
     broadcast-safe plain-dict form of the trie (rebuilt once per executor —
-    the J3 broadcast-lookup pattern)."""
+    the J3 broadcast-lookup pattern).
+
+    ``output_columns`` pushes projection *into* the UDF: Catalyst cannot
+    prune inside a mapInPandas stage, so a downstream ``select`` still pays
+    the full Arrow transfer and compute. Requesting a subset both trims the
+    Arrow payload and skips work — e.g. without ``correction_changes`` the
+    quadratic word diff never runs.
+    """
+    fields = [f.name for f in projected_schema(output_columns).fields]
+    need_diff = "correction_changes" in fields
+
     def fn(batches):
         import pandas as pd
         normalizer = (OrthographyNormalizer(normalize_table[0],
                                             normalize_table[1])
                       if normalize_table is not None else None)
         for pdf in batches:
-            rows = [extract_one(u, h, normalizer)
+            rows = [extract_one(u, h, normalizer, with_diff=need_diff)
                     for u, h in zip(pdf["url"], pdf["html"])]
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            yield out[fields]
     return fn
 
 

@@ -94,11 +94,19 @@ def explode_sections(results: DataFrame) -> DataFrame:
 
 def extract_pages(pages: DataFrame, normalize: bool = True,
                   decorrelate: bool = False,
-                  num_partitions: int | None = None) -> DataFrame:
-    """Run the full extraction over a pages DataFrame → RESULT_SCHEMA rows."""
+                  num_partitions: int | None = None,
+                  output_columns: list[str] | None = None) -> DataFrame:
+    """Run the full extraction over a pages DataFrame → RESULT_SCHEMA rows.
+
+    ``output_columns``: project inside the UDF (Catalyst cannot prune
+    through mapInPandas — a downstream select still pays full transfer and
+    compute). ``url`` is always included.
+    """
+    from ..functions.udfs import projected_schema
     df = pages.select("url", "html")
     if decorrelate:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, F.xxhash64("url"))
     table = default_normalizer().to_table() if normalize else None
-    return df.mapInPandas(extract_map_fn(table), schema=RESULT_SCHEMA)
+    return df.mapInPandas(extract_map_fn(table, output_columns),
+                          schema=projected_schema(output_columns))

@@ -127,3 +127,14 @@ def test_explode_sections_matches_spans(spark, sf_dir):
             assert r.ord == 0
             assert r.text == full[r.url].header
     res.unpersist()
+
+
+def test_output_projection_pushdown(spark, sf_dir):
+    df = extract_pages(pages_df(spark, sf_dir).limit(10),
+                       output_columns=["final", "spans"])
+    assert df.columns == ["url", "final", "spans"]
+    rows = df.collect()
+    assert rows and all(r.final.endswith("\n") for r in rows)
+    full = extract_pages(pages_df(spark, sf_dir).limit(10)) \
+        .select("url", "final").collect()
+    assert {r.url: r.final for r in rows} == {r.url: r.final for r in full}
