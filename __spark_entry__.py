@@ -52,17 +52,27 @@ def _ensure_worker_path(spark: SparkSession) -> None:
     try:
         import tempfile
         import zipfile
+        import hashlib
         pkg_dir = os.path.join(_REPO, "norsk_historisk_avis_ocr_spark")
-        zpath = os.path.join(tempfile.gettempdir(), "nhao_engine_pkg.zip")
+        payload: list[tuple[str, bytes]] = []
+        digest = hashlib.sha256()
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    data = open(full, "rb").read()
+                    payload.append((os.path.relpath(full, _REPO), data))
+                    digest.update(data)
+        # content-addressed name: a stale cached zip from an earlier code
+        # version must never be shipped
+        zpath = os.path.join(tempfile.gettempdir(),
+                             f"nhao_engine_{digest.hexdigest()[:12]}.zip")
         if not os.path.exists(zpath):
             with zipfile.ZipFile(zpath, "w") as z:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    if "__pycache__" in root:
-                        continue
-                    for f in files:
-                        if f.endswith(".py"):
-                            full = os.path.join(root, f)
-                            z.write(full, os.path.relpath(full, _REPO))
+                for rel, data in payload:
+                    z.writestr(rel, data)
         sc.addPyFile(zpath)
         sc._nhao_pyfile_added = True
     except Exception:  # pragma: no cover - best effort
