@@ -158,7 +158,7 @@ class _BlockParser(HTMLParser):
 
 _RAW_CONTENT = re.compile(r"<(script|style)\b[^>]*>.*?(</\1\s*>|\Z)",
                           re.S | re.I)
-_TOKEN = re.compile(r"<!--.*?(?:-->|\Z)|<!?[^>]*>|[^<]+", re.S)
+_TOKEN = re.compile(r"<!--.*?(?:-->|\Z)|<!?[^>]*(?:>|\Z)|[^<]+", re.S)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 
@@ -179,6 +179,11 @@ def _scan_fast(html_str: str) -> list[Block]:
         c0 = tok[0]
         if c0 != "<":
             b.text(unescape(tok) if "&" in tok else tok)
+            continue
+        if not tok.endswith(">"):
+            if not tok.startswith("<!--"):
+                # unterminated tag at EOF — stdlib flushes it as data
+                b.text(tok)
             continue
         if tok.startswith(("<!", "<?")):
             continue

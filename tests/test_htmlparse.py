@@ -138,3 +138,36 @@ def test_charset_default_utf8():
 def test_charset_unknown_falls_back():
     html = b"<meta charset='no-such-codec'><p>tekst her</p>"
     assert extract_sections(html)[1] == ["tekst her"]
+
+
+def test_fast_scanner_equals_stdlib_hypothesis():
+    """Randomized well-formed-ish fragments: both tokenizers must agree."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["ord", "tekst &amp; mer", "a", "læse", "12", "x|y"])
+    tags = st.sampled_from(["div", "p", "td", "h1", "nav", "li"])
+
+    @st.composite
+    def fragment(draw, depth=0):
+        kind = draw(st.integers(0, 3 if depth < 3 else 1))
+        if kind <= 1:
+            return draw(words)
+        if kind == 2:
+            t = draw(tags)
+            inner = "".join(draw(st.lists(fragment(depth=depth + 1), max_size=3)))
+            return f"<{t}>{inner}</{t}>"
+        return draw(words) + "<br/>" + draw(words)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(fragment(), max_size=6), st.booleans())
+    def prop(frags, truncate):
+        html = "<html><body>" + "".join(frags) + "</body></html>"
+        if truncate:
+            html = html[:max(12, len(html) - 9)]
+        fast = [(b.tag, b.parent_tag, b.depth, b.text, b.link_chars)
+                for b in parse_blocks(html, engine="fast")]
+        std = [(b.tag, b.parent_tag, b.depth, b.text, b.link_chars)
+               for b in parse_blocks(html, engine="stdlib")]
+        assert fast == std
+
+    prop()

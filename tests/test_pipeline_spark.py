@@ -138,3 +138,15 @@ def test_output_projection_pushdown(spark, sf_dir):
     full = extract_pages(pages_df(spark, sf_dir).limit(10)) \
         .select("url", "final").collect()
     assert {r.url: r.final for r in rows} == {r.url: r.final for r in full}
+
+
+def test_extraction_invariant_under_partitioning(spark, sf_dir):
+    """Determinism across partitionings (SURVEY §7): same bytes per url
+    whatever the physical layout."""
+    base = pages_df(spark, sf_dir).limit(60).cache()
+    a = {r.url: r.final for r in
+         extract_pages(base.repartition(1)).select("url", "final").collect()}
+    b = {r.url: r.final for r in
+         extract_pages(base.repartition(7)).select("url", "final").collect()}
+    assert a == b
+    base.unpersist()
