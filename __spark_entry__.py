@@ -546,7 +546,7 @@ cand AS (
     ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
 """,
         "emb_cosine_topk": cos +
