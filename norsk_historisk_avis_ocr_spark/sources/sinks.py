@@ -43,6 +43,21 @@ def read_done_urls(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([], "url string")
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str = "url",
+                   n_buckets: int = 64) -> None:
+    """Persist as a bucketed table so later joins on ``bucket_col``
+    co-locate without a shuffle (the 10^12-row resume anti-join: both the
+    pages snapshot and the committed results bucketed by url ⇒ the join
+    reads matching buckets side by side).
+
+    Bucketing requires the session catalog (``saveAsTable``); plain
+    ``.parquet(path)`` writes cannot carry bucket metadata.
+    """
+    df.write.mode("overwrite") \
+        .bucketBy(n_buckets, bucket_col).sortBy(bucket_col) \
+        .format("parquet").saveAsTable(table)
+
+
 def write_lineage(metrics_df: DataFrame, path: str) -> None:
     """Per-partition lineage + extraction metrics (north rule): one row per
     task partition with counts/bytes/elapsed, appended alongside results."""

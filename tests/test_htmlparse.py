@@ -171,3 +171,24 @@ def test_fast_scanner_equals_stdlib_hypothesis():
         assert fast == std
 
     prop()
+
+
+def test_extract_one_total_on_random_bytes():
+    """The per-page function must never raise — a poison page would kill a
+    1000-executor stage (quarantine covers size/null, totality covers the
+    rest)."""
+    from hypothesis import given, settings, strategies as st
+    from norsk_historisk_avis_ocr_spark.functions.udfs import extract_one
+    from norsk_historisk_avis_ocr_spark.stages.normalize import (
+        default_normalizer,
+    )
+    norm = default_normalizer()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def prop(data):
+        row = extract_one("u", data, norm)
+        assert row["combined"].endswith("\n")
+        assert row["final"].endswith("\n")
+
+    prop()

@@ -150,3 +150,15 @@ def test_extraction_invariant_under_partitioning(spark, sf_dir):
          extract_pages(base.repartition(7)).select("url", "final").collect()}
     assert a == b
     base.unpersist()
+
+
+def test_resume_partial_then_full(spark, sf_dir, tmp_path):
+    from norsk_historisk_avis_ocr_spark.operators.resume import run_with_resume
+    out = os.path.join(str(tmp_path), "partial_results")
+    pages = pages_df(spark, sf_dir).limit(25).cache()
+    first = pages.limit(10)
+    assert run_with_resume(spark, first, out) == 10
+    # a later run over the full input commits only the remainder
+    assert run_with_resume(spark, pages, out) == 15
+    assert spark.read.parquet(out).select("url").distinct().count() == 25
+    pages.unpersist()

@@ -88,3 +88,25 @@ def test_size_bucketed_repartition_plan(spark, pages_parquet):
     # still one shuffle only
     assert plan.count("Exchange") == 1
     assert df.count() == pages.count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, pages_parquet, tmp_path):
+    """Bucketing both sides on the join key removes the shuffle entirely
+    (co-located join): the resume anti-join pattern at warehouse scale."""
+    from norsk_historisk_avis_ocr_spark.sources.sinks import write_bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        pages = spark.read.parquet(pages_parquet).select("url", "lang")
+        write_bucketed(pages, "pages_b", "url", 8)
+        write_bucketed(pages.select("url"), "done_b", "url", 8)
+        a = spark.table("pages_b")
+        d = spark.table("done_b")
+        remaining = a.join(d, "url", "left_anti")
+        plan = _plan(remaining)
+        assert "Exchange" not in plan, plan
+        assert remaining.count() == 0  # everything "done"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS pages_b")
+        spark.sql("DROP TABLE IF EXISTS done_b")
