@@ -127,7 +127,8 @@ def projected_schema(output_columns: list[str] | None) -> StructType:
 
 
 def extract_map_fn(normalize_table: tuple[dict, set] | None,
-                   output_columns: list[str] | None = None):
+                   output_columns: list[str] | None = None,
+                   normalize_langs: set[str] | None = None):
     """Build the ``mapInPandas`` function. ``normalize_table`` is the
     broadcast-safe plain-dict form of the trie (rebuilt once per executor —
     the J3 broadcast-lookup pattern).
@@ -147,8 +148,18 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
                                             normalize_table[1])
                       if normalize_table is not None else None)
         for pdf in batches:
-            rows = [extract_one(u, h, normalizer, with_diff=need_diff)
-                    for u, h in zip(pdf["url"], pdf["html"])]
+            if normalize_langs is not None and "lang" in pdf:
+                # per-language gating: the orthography table is Norwegian;
+                # other languages keep the reflowed text (X5 coalesce)
+                rows = [extract_one(
+                            u, h,
+                            normalizer if lg in normalize_langs else None,
+                            with_diff=need_diff)
+                        for u, h, lg in zip(pdf["url"], pdf["html"],
+                                            pdf["lang"])]
+            else:
+                rows = [extract_one(u, h, normalizer, with_diff=need_diff)
+                        for u, h in zip(pdf["url"], pdf["html"])]
             out = pd.DataFrame(rows)
             yield out[fields]
     return fn

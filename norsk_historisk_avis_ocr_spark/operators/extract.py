@@ -95,18 +95,28 @@ def explode_sections(results: DataFrame) -> DataFrame:
 def extract_pages(pages: DataFrame, normalize: bool = True,
                   decorrelate: bool = False,
                   num_partitions: int | None = None,
-                  output_columns: list[str] | None = None) -> DataFrame:
+                  output_columns: list[str] | None = None,
+                  normalize_langs: set[str] | None = None) -> DataFrame:
     """Run the full extraction over a pages DataFrame → RESULT_SCHEMA rows.
 
     ``output_columns``: project inside the UDF (Catalyst cannot prune
     through mapInPandas — a downstream select still pays full transfer and
     compute). ``url`` is always included.
+
+    ``normalize_langs``: apply the orthography pass only to these language
+    codes (the table is historical-Norwegian); other rows keep the
+    reflowed text as ``final``. None = normalize everything.
     """
     from ..functions.udfs import projected_schema
-    df = pages.select("url", "html")
+    if normalize_langs is not None and "lang" in pages.columns:
+        df = pages.select("url", "html", "lang")
+    else:
+        df = pages.select("url", "html")
+        normalize_langs = None
     if decorrelate:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, F.xxhash64("url"))
     table = default_normalizer().to_table() if normalize else None
-    return df.mapInPandas(extract_map_fn(table, output_columns),
-                          schema=projected_schema(output_columns))
+    return df.mapInPandas(
+        extract_map_fn(table, output_columns, normalize_langs),
+        schema=projected_schema(output_columns))

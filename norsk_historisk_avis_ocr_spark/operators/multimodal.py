@@ -75,6 +75,40 @@ def decode_media(data: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("t_offset_ms", IntegerType(), False),
+    StructField("frame", StringType(), True),  # digest of the fake frame
+])
+
+
+def frame_samples(df: DataFrame, every_ms: int = 1000,
+                  url_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """Video frame sampling plumbing: one input row → N frame rows
+    (1→N ``mapInPandas`` expansion — the shape real ffmpeg sampling uses).
+    Decode is stubbed like :func:`decode_media`: deterministic fake frame
+    count and per-frame digests derived from the payload."""
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"url": [], "frame_idx": [], "t_offset_ms": [], "frame": []}
+            for u, data in zip(pdf[url_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                meta = decode_media(data)
+                for i in range(meta["n_frames"]):
+                    out["url"].append(u)
+                    out["frame_idx"].append(i)
+                    out["t_offset_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(data + i.to_bytes(4, "big"))
+                        .hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(url_col), F.col(bytes_col)) \
+        .mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
 def media_features(df: DataFrame, url_col: str = "url",
                    bytes_col: str = "html") -> DataFrame:
     """binary column → typed media metadata + feature vector, batched."""

@@ -162,3 +162,18 @@ def test_resume_partial_then_full(spark, sf_dir, tmp_path):
     assert run_with_resume(spark, pages, out) == 15
     assert spark.read.parquet(out).select("url").distinct().count() == 25
     pages.unpersist()
+
+
+def test_normalize_langs_gating(spark):
+    html_no = ("<html><body><table><tr><td>clet rnann liar</td></tr>"
+               "</table></body></html>").encode()
+    df = spark.createDataFrame(
+        [("u-no", bytearray(html_no), "no"),
+         ("u-sv", bytearray(html_no), "sv")],
+        "url string, html binary, lang string")
+    rows = {r.url: r for r in
+            extract_pages(df, normalize_langs={"no", "da"}).collect()}
+    assert rows["u-no"].normalized.startswith("det mann har")
+    assert rows["u-no"].final == rows["u-no"].normalized
+    assert rows["u-sv"].normalized is None
+    assert rows["u-sv"].final == rows["u-sv"].transcribed

@@ -75,3 +75,22 @@ def test_media_features_deterministic(spark):
     rows = media_features(df).collect()
     feats = {r.url: tuple(r.features) for r in rows}
     assert feats["a"] == feats["b"]
+
+
+def test_frame_samples_one_to_many(spark):
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        frame_samples,
+    )
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"\x1aE\xdf\xa3 webm-ish")),
+         ("v2", bytearray(b"other payload"))],
+        "url string, html binary")
+    rows = frame_samples(df, every_ms=500).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    for u, frames in by_url.items():
+        assert [f.frame_idx for f in sorted(frames, key=lambda x: x.frame_idx)] \
+            == list(range(len(frames)))
+        assert all(f.t_offset_ms == f.frame_idx * 500 for f in frames)
+        assert len({f.frame for f in frames}) == len(frames)
