@@ -1,0 +1,36 @@
+"""Deterministic k-means (learned IVF cells)."""
+
+from norsk_historisk_avis_ocr_spark.operators.kmeans import (
+    ivf_cells_topk, kmeans_assign,
+)
+
+
+def _clustered(spark):
+    # two well-separated 3D clusters
+    a = [(i, [10.0 + 0.1 * i, 10.0, 10.0]) for i in range(5)]
+    b = [(10 + i, [-10.0 - 0.1 * i, -10.0, -10.0]) for i in range(5)]
+    return spark.createDataFrame(a + b, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_clusters(spark):
+    df = _clustered(spark)
+    got = {r.vec_id: r.cell for r in kmeans_assign(df, k=2, iters=4).collect()}
+    cluster_a = {got[i] for i in range(5)}
+    cluster_b = {got[10 + i] for i in range(5)}
+    assert len(cluster_a) == 1 and len(cluster_b) == 1
+    assert cluster_a != cluster_b
+
+
+def test_kmeans_deterministic(spark):
+    df = _clustered(spark)
+    a = sorted((r.vec_id, r.cell) for r in kmeans_assign(df, k=2, iters=3).collect())
+    b = sorted((r.vec_id, r.cell) for r in kmeans_assign(df, k=2, iters=3).collect())
+    assert a == b
+
+
+def test_ivf_cells_topk_stays_in_cluster(spark):
+    df = _clustered(spark)
+    got = ivf_cells_topk(df, query_vec_id=0, k_cells=2, top_k=9).collect()
+    ids = {r.vec_id for r in got}
+    assert ids <= {1, 2, 3, 4}  # only same-cluster neighbors
+    assert len(ids) == 4
