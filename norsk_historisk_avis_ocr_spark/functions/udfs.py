@@ -160,6 +160,9 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
             else:
                 rows = [extract_one(u, h, normalizer, with_diff=need_diff)
                         for u, h in zip(pdf["url"], pdf["html"])]
+            if not rows:  # empty Arrow batch: emit an empty, typed frame
+                yield pd.DataFrame({f: [] for f in fields})
+                continue
             out = pd.DataFrame(rows)
             yield out[fields]
     return fn
