@@ -196,6 +196,16 @@ DEFAULT_LEXICON: list[str] = [
     "være", "nærmere", "lærer", "bærer", "færre", "kjærlighet",
     "år", "båt", "måtte", "språk", "nå", "står",
     "avis", "nyheter", "kommune", "regjeringen", "stortinget",
+    # extended 1950s-register set (round 1 widening)
+    "mange", "menneske", "mennesker", "gammel", "gamle", "sammen",
+    "kommet", "rommet", "timer", "hammer", "nummer", "temmelig",
+    "hans", "havn", "havet", "himmel", "historie", "høst", "hverandre",
+    "dette", "disse", "derfor", "dessuten", "dermed", "desember",
+    "større", "døren", "kjøre", "høre", "løpe", "søndag", "lørdag",
+    "næring", "ærlig", "vær", "sær", "tjære",
+    "gård", "hår", "mål", "måned", "påske", "småbruk", "våren",
+    "byen", "landet", "folket", "kongen", "kirken", "skolen",
+    "arbeidet", "styret", "møtet", "saken", "loven", "retten",
 ]
 
 # Default rewrite table: OCR confusion fixes mirroring the reference prompt's

@@ -41,9 +41,11 @@ def clean_divider_noise(text: str) -> str:
     """
     kept = []
     for line in text.split("\n"):
-        line = _TRAILING_PIPE.sub("", line)
-        line = _LEADING_PIPE.sub("", line)
-        line = line.strip("|").rstrip()
+        if "|" in line:  # the pipe steps are no-ops otherwise
+            line = _TRAILING_PIPE.sub("", line)
+            line = _LEADING_PIPE.sub("", line)
+            line = line.strip("|")
+        line = line.rstrip()
         core = line.strip()
         if 0 < len(core) <= 2:
             # stray garbage; drop entirely so reflow can rejoin hyphens across
@@ -75,6 +77,8 @@ def reflow_text(section_text: str) -> str:
     section_text = section_text.strip()
     if not section_text:
         return ""
+    if "\n" not in section_text and "  " not in section_text:
+        return section_text  # all three rewrites are no-ops
     section_text = _HYPHEN_BREAK.sub("", section_text)
     section_text = _NEWLINES.sub(" ", section_text)
     section_text = _MULTISPACE.sub(" ", section_text)
