@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--no-normalize", action="store_true",
                    help="skip the orthography-normalization pass "
                         "(reproduces the plain-tesseract engine config)")
+    p.add_argument("--engine", choices=["plain", "normalized",
+                                        "normalized-nodiff"],
+                   help="named engine config (overrides --no-normalize); "
+                        "results land under <output>/<engine-name> so "
+                        "configs coexist like the reference's per-config "
+                        "output dirs")
     p.add_argument("--master", default=None)
     p.add_argument("--replicate", type=int, default=1)
     args = p.parse_args(argv)
@@ -51,6 +57,8 @@ def main(argv=None):
     from norsk_historisk_avis_ocr_spark.plans import build_session
     from norsk_historisk_avis_ocr_spark.sources import pages_df
 
+    from pyspark.sql import SparkSession
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session("nhao-extract", master=args.master)
     try:
         if args.synthesize:
@@ -65,12 +73,21 @@ def main(argv=None):
                 bad.write.mode("append").parquet(args.quarantine)
             pages = good
 
+        out_path = args.output
+        if args.engine:
+            from norsk_historisk_avis_ocr_spark.plans.config import ENGINES
+            cfg = ENGINES[args.engine]
+            out_path = os.path.join(args.output, cfg.name)
+            kwargs = cfg.extract_kwargs()
+        else:
+            kwargs = {"normalize": not args.no_normalize}
         n = run_with_resume(
-            spark, pages, args.output, lineage_path=args.lineage,
-            extract_kwargs={"normalize": not args.no_normalize})
-        print(f"committed {n} new documents to {args.output}")
+            spark, pages, out_path, lineage_path=args.lineage,
+            extract_kwargs=kwargs)
+        print(f"committed {n} new documents to {out_path}")
     finally:
-        spark.stop()
+        if owns_session:  # never stop a session we merely joined
+            spark.stop()
 
 
 if __name__ == "__main__":
