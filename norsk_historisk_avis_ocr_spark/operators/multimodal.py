@@ -75,6 +75,43 @@ def decode_media(data: bytes) -> dict:
     }
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("resized", StringType(), True),  # digest of the fake raster
+])
+
+
+def resize_media(df: DataFrame, max_side: int = 512, url_col: str = "url",
+                 bytes_col: str = "html") -> DataFrame:
+    """Resize plumbing: aspect-preserving clamp of the longer side to
+    ``max_side`` — the geometry math is real (it is what a thumbnailing
+    stage keys partitioning and cost models on); the raster op itself is
+    stubbed like :func:`decode_media` (deterministic digest stands in for
+    the resized pixels)."""
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for u, data in zip(pdf[url_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                meta = decode_media(data)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h))
+                rows.append({
+                    "url": u,
+                    "width": int(w * scale),
+                    "height": int(h * scale),
+                    "resized": hashlib.sha256(
+                        data + f"{scale:.6f}".encode()).hexdigest()[:16],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(url_col), F.col(bytes_col)) \
+        .mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("frame_idx", IntegerType(), False),

@@ -94,3 +94,17 @@ def test_frame_samples_one_to_many(spark):
             == list(range(len(frames)))
         assert all(f.t_offset_ms == f.frame_idx * 500 for f in frames)
         assert len({f.frame for f in frames}) == len(frames)
+
+
+def test_resize_media_clamps_aspect(spark):
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media, resize_media,
+    )
+    df = spark.createDataFrame([("m1", bytearray(b"payload-bytes"))],
+                               "url string, html binary")
+    r = resize_media(df, max_side=512).first()
+    meta = decode_media(b"payload-bytes")
+    scale = min(1.0, 512 / max(meta["width"], meta["height"]))
+    assert r.width == int(meta["width"] * scale)
+    assert r.height == int(meta["height"] * scale)
+    assert max(r.width, r.height) <= 512
