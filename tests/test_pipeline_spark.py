@@ -177,3 +177,12 @@ def test_normalize_langs_gating(spark):
     assert rows["u-no"].final == rows["u-no"].normalized
     assert rows["u-sv"].normalized is None
     assert rows["u-sv"].final == rows["u-sv"].transcribed
+
+
+def test_read_done_urls_edge_cases(spark, tmp_path):
+    from norsk_historisk_avis_ocr_spark.sources.sinks import read_done_urls
+    missing = read_done_urls(spark, str(tmp_path / "never_written"))
+    assert missing.count() == 0 and missing.columns == ["url"]
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    assert read_done_urls(spark, str(empty_dir)).count() == 0

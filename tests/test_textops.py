@@ -144,3 +144,33 @@ def test_reflow_invariants(text):
     assert "\n" not in out
     assert "  " not in out
     assert out == out.strip()
+
+
+wide_text = st.text(
+    alphabet=st.sampled_from(list(
+        "abzæøåAZ019|.- \n\t«»\"'()!?:;,–— ")), max_size=300)
+
+
+@settings(max_examples=250, deadline=None)
+@given(wide_text)
+def test_clean_equivalence_wide_alphabet(text):
+    import engines.tesseract_engine as ref
+    assert clean_divider_noise(text) == ref._clean_divider_noise(text)
+
+
+@settings(max_examples=250, deadline=None)
+@given(wide_text)
+def test_reflow_equivalence_wide_alphabet(text):
+    import engines.tesseract_engine as ref
+    assert reflow_text(text) == ref._reflow_text(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(wide_text, max_size=5))
+def test_combine_transcribe_equivalence_wide(sections):
+    import engines.tesseract_engine as ref
+    cleaned = [clean_divider_noise(s) for s in sections]
+    assert combine_sections(cleaned) == "\n\n".join(cleaned) + "\n"
+    reflowed = [ref._reflow_text(s) for s in cleaned]
+    assert transcribe_sections(cleaned) == \
+        "\n\n".join(s for s in reflowed if s) + "\n"
