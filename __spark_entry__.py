@@ -175,6 +175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: w.upper_median(_t(s, sf, "lineitem")),
         "topk_per_group":
             lambda s, sf: w.topk_per_group(_t(s, sf, "orders"), k=3),
+        "value_histogram":
+            lambda s, sf: _t(s, sf, "events").groupBy(
+                F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+                .agg(F.count("*").alias("n"))
+                .select("bucket", "n"),
         # -- joins / filters / aggregates ----------------------------------
         "j1_resume_antijoin": _j1_antijoin,
         "p_filter_project":
@@ -387,6 +392,10 @@ WITH r AS (
 )
 SELECT l_returnflag, l_quantity AS upper_median_qty
 FROM r WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
+""",
+        "value_histogram": """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY CAST(FLOOR(value / 10) AS BIGINT)
 """,
         "topk_per_group": """
 WITH r AS (
