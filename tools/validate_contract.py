@@ -81,6 +81,19 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_bad += 1
             continue
+        # soft dtype audit: numeric-kind mismatches (int vs float vs str)
+        # could trip a stricter driver compare even when values match
+        try:
+            import pandas as pd
+            spdf = pd.DataFrame(srows, columns=scols)
+            ddf = pd.DataFrame(drows, columns=dcols)
+            for c in set(scols) & set(dcols):
+                ks, kd = spdf[c].dtype.kind, ddf[c].dtype.kind
+                if ks != kd and not {ks, kd} <= {"i", "u"}:
+                    print(f"  dtype-warn {name}.{c}: spark={spdf[c].dtype} "
+                          f"duckdb={ddf[c].dtype}")
+        except Exception:
+            pass
         sc, sr = _norm_rows(scols, srows)
         dc, dr = _norm_rows(dcols, drows)
         if sc != dc:
