@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: w.upper_median(_t(s, sf, "lineitem")),
         "topk_per_group":
             lambda s, sf: w.topk_per_group(_t(s, sf, "orders"), k=3),
+        "exact_quantiles":
+            lambda s, sf: w.exact_quantiles(_t(s, sf, "lineitem")),
         "value_histogram":
             lambda s, sf: _t(s, sf, "events").groupBy(
                 F.floor(F.col("value") / 10).cast("long").alias("bucket"))
@@ -392,6 +394,22 @@ WITH r AS (
 )
 SELECT l_returnflag, l_quantity AS upper_median_qty
 FROM r WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
+""",
+        "exact_quantiles":
+            lambda s, sf: w.exact_quantiles(_t(s, sf, "lineitem")),
+        "exact_quantiles": """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END) AS q25,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS q50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN l_quantity END) AS q75
+FROM r GROUP BY l_returnflag
 """,
         "value_histogram": """
 SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n

@@ -94,6 +94,30 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
+def exact_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact per-group quantiles (percentile_disc semantics: smallest value
+    whose cumulative rank reaches q·n) for q ∈ {0.25, 0.5, 0.75}.
+
+    Same rank-row formulation as :func:`upper_median` so the cross-engine
+    oracle is value-exact — built-in approx/interp percentiles differ
+    between engines, a rank row does not. At scale this is one window over
+    the group (no global sort) + a conditional aggregate.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber")
+    cnt = Window.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"))
+    agg = [
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                     F.col("l_quantity"))).alias(name)
+        for q, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75")]
+    ]
+    return ranked.groupBy("l_returnflag").agg(*agg)
+
+
 def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
     """O5/A8-family: top-k rows per group with a total deterministic order
     (value desc, key asc) — rank-within-partition, no global sort."""

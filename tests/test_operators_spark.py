@@ -231,3 +231,12 @@ def test_topk_per_group(spark):
     got = [(r.o_custkey, r.o_orderkey, r.rank_in_group)
            for r in w.topk_per_group(df, k=2).orderBy("o_custkey", "rank_in_group").collect()]
     assert got == [(1, 11, 1), (1, 12, 2), (2, 20, 1)]
+
+
+def test_exact_quantiles_disc_semantics(spark):
+    rows = [("A", float(v), 1, i) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_orderkey long, l_linenumber int")
+    r = w.exact_quantiles(df).first()
+    # n=4: q25 -> rank ceil(1)=1 -> 1.0; q50 -> rank 2 -> 2.0; q75 -> rank 3 -> 3.0
+    assert (r.q25, r.q50, r.q75) == (1.0, 2.0, 3.0)
