@@ -395,8 +395,6 @@ WITH r AS (
 SELECT l_returnflag, l_quantity AS upper_median_qty
 FROM r WHERE rn = CAST(FLOOR(n / 2) AS BIGINT) + 1
 """,
-        "exact_quantiles":
-            lambda s, sf: w.exact_quantiles(_t(s, sf, "lineitem")),
         "exact_quantiles": """
 WITH r AS (
   SELECT l_returnflag, l_quantity,
@@ -666,13 +664,19 @@ SELECT doc_id,
            AS quality
 FROM documents
 """,
+        # LEFT JOIN back to documents so docs shorter than k=8 chars keep a
+        # (doc_id, NULL) row, matching Spark's array_min(empty) = NULL.
         "fingerprints": f"""
-SELECT doc_id, MIN(h) AS fp FROM (
-  SELECT doc_id, unnest(
-    list_transform(range(1, length(text) - 6),
-                   i -> {_H60.format(x='substr(text, i, 8)')})
-  ) AS h FROM documents
-) GROUP BY doc_id
+WITH per AS (
+  SELECT doc_id, MIN(h) AS fp FROM (
+    SELECT doc_id, unnest(
+      list_transform(range(1, length(text) - 6),
+                     i -> {_H60.format(x='substr(text, i, 8)')})
+    ) AS h FROM documents
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, per.fp AS fp
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
         "stopword_ratios": f"""
 WITH t AS (

@@ -236,10 +236,13 @@ def simhash_values(docs: DataFrame) -> DataFrame:
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``.
 
-    Sandbox-scale: join on equality of any of 4 15-bit chunks (pigeonhole:
-    distance ≤ 3 over 4 chunks ⇒ ≥ 1 chunk equal), then verify with
-    bit_count(xor) — the same chunk-index trick that scales this to 10^12
-    rows (bucket join, never a cross join).
+    Candidates come from equality of any of 4 14-bit chunks, then exact
+    verify with bit_count(xor) — a bucket join, never a cross join, which
+    is what scales this to 10^12 rows. Pigeonhole guarantees FULL recall
+    only for ``max_hamming <= 3`` (4 chunks ⇒ ≥1 chunk untouched); above
+    that the result is approximate — pairs whose differing bits span all 4
+    chunks are missed. For guaranteed recall at distance d, band into d+1
+    chunks instead (cost: more candidate buckets per row).
     """
     sh = simhash_values(docs)
     chunks = 4

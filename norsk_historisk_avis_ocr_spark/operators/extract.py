@@ -108,11 +108,14 @@ def extract_pages(pages: DataFrame, normalize: bool = True,
     reflowed text as ``final``. None = normalize everything.
     """
     from ..functions.udfs import projected_schema
-    if normalize_langs is not None and "lang" in pages.columns:
+    if normalize_langs is not None and "lang" not in pages.columns:
+        raise ValueError(
+            "normalize_langs given but input has no 'lang' column; "
+            "refusing to silently normalize every row")
+    if normalize_langs is not None:
         df = pages.select("url", "html", "lang")
     else:
         df = pages.select("url", "html")
-        normalize_langs = None
     if decorrelate:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, F.xxhash64("url"))

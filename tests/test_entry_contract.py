@@ -17,6 +17,27 @@ def test_every_oracle_key_has_a_query():
     assert os_ <= qs, os_ - qs
 
 
+def test_fingerprint_short_doc_parity(spark):
+    """Docs shorter than k=8 chars: Spark emits (doc_id, NULL); the DuckDB
+    oracle must keep the row too (LEFT JOIN guard), not drop it."""
+    import duckdb
+
+    from norsk_historisk_avis_ocr_spark.operators.quality import fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "long enough document text")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in fingerprints(docs).collect()}
+    assert got[1] is None and got[2] is not None
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM (VALUES "
+            "(1, 'tiny'), (2, 'long enough document text')) t(doc_id, text)")
+    ora = {r[0]: r[1]
+           for r in con.sql(entrymod.oracle_sql()["fingerprints"]).fetchall()}
+    assert ora == got
+
+
 def test_queries_run_and_oracle_parses(spark, sf_dir):
     """Each query must at least build a DataFrame plan; oracle SQL must
     parse in DuckDB (full value check lives in tools/validate_contract.py

@@ -179,6 +179,14 @@ def test_normalize_langs_gating(spark):
     assert rows["u-sv"].final == rows["u-sv"].transcribed
 
 
+def test_normalize_langs_requires_lang_column(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [("u", bytearray(b"<html></html>"))], "url string, html binary")
+    with _pytest.raises(ValueError, match="no 'lang' column"):
+        extract_pages(df, normalize_langs={"no"})
+
+
 def test_read_done_urls_edge_cases(spark, tmp_path):
     from norsk_historisk_avis_ocr_spark.sources.sinks import read_done_urls
     missing = read_done_urls(spark, str(tmp_path / "never_written"))
