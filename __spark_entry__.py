@@ -153,8 +153,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("metrics.n_cols").alias("n_cols"))
 
     def multimodal_features(spark, sf):
+        """Media metadata + feature vector over an oracle-visible corpus
+        (documents.text as the opaque binary payload). The stub decode is
+        sha256-deterministic, so every output is DuckDB-reproducible; the
+        feature array is projected to a scalar (count of positive
+        components — integer-exact: sign of component i is sign of the
+        16-bit digest slice, unchanged by the positive norm) because the
+        driver's canonicalizer cannot sort list cells."""
         _ensure_worker_path(spark)
-        return mm.media_features(pages_df(spark, sf))
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_key"),
+            F.encode("text", "UTF-8").alias("payload"))
+        feats = mm.media_features(docs, url_col="doc_key",
+                                  bytes_col="payload")
+        return feats.select(
+            F.col("url").alias("doc_key"), "media_type", "n_bytes",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.size(F.filter("features", lambda x: x > 0)).cast("long")
+             .alias("n_pos_features"))
 
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
@@ -663,6 +681,36 @@ SELECT doc_id,
                              / GREATEST(length(text), 1)) * 5, 1.0)), 6)
            AS quality
 FROM documents
+""",
+        # Stub decode is sha256(payload)-derived; payload here is the UTF-8
+        # encoding of documents.text, so DuckDB's sha256(text) (which hashes
+        # the UTF-8 bytes) reproduces every value. The magic-byte CASE omits
+        # PNG/JPEG/0x89/0xFF magics: those bytes cannot begin a valid UTF-8
+        # encoding of a string, so the Python sniff can never return them for
+        # this payload; the reachable magics (all ASCII/NUL/decodable) are
+        # replicated in sniff order.
+        "multimodal_features": """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_key, text, sha256(text) AS hx
+  FROM documents
+)
+SELECT doc_key,
+  CASE
+    WHEN starts_with(text, 'II*' || chr(0)) THEN 'image/tiff'
+    WHEN starts_with(text, 'MM' || chr(0) || '*') THEN 'image/tiff'
+    WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+    WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+    WHEN starts_with(text, chr(26) || 'E' || chr(2019)) THEN 'video/webm'
+    ELSE 'application/octet-stream'
+  END AS media_type,
+  strlen(text) AS n_bytes,
+  CAST(256 + ('0x' || substr(hx, 1, 2))::INT * 8 AS BIGINT) AS width,
+  CAST(256 + ('0x' || substr(hx, 3, 2))::INT * 8 AS BIGINT) AS height,
+  CAST(1 + ('0x' || substr(hx, 5, 2))::INT % 4 AS BIGINT) AS n_frames,
+  CAST(len(list_filter(range(0, 16),
+           i -> ('0x' || substr(hx, 1 + 4 * i, 4))::INT >= 32768))
+       AS BIGINT) AS n_pos_features
+FROM h
 """,
         # LEFT JOIN back to documents so docs shorter than k=8 chars keep a
         # (doc_id, NULL) row, matching Spark's array_min(empty) = NULL.

@@ -66,7 +66,10 @@ def decode_media(data: bytes) -> dict:
     width = 256 + digest[0] * 8
     height = 256 + digest[1] * 8
     n_frames = 1 + digest[2] % 4
-    raw = [int.from_bytes(digest[4 + 2 * i:6 + 2 * i], "big") / 65535.0 - 0.5
+    # feature i ← big-endian 16-bit slice at bytes [2i, 2i+2): exactly
+    # covers the 32-byte digest, so every component is informative (and
+    # each is an exact integer / 65535 − 0.5, reproducible in SQL oracles)
+    raw = [int.from_bytes(digest[2 * i:2 * i + 2], "big") / 65535.0 - 0.5
            for i in range(MEDIA_FEATURE_DIM)]
     norm = sum(v * v for v in raw) ** 0.5 or 1.0
     return {
