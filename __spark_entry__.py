@@ -343,6 +343,27 @@ h AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh),
 sig AS (SELECT doc_id, {mh_terms} FROM h GROUP BY doc_id)
 """
 
+    # Hyperplane-LSH signature: the ±1 sign matrix is the same driver-side
+    # precompute operators/similarity.py:plane_sign_rows embeds as literals
+    # (md5-parity of "p:d"), so the oracle reproduces signatures exactly.
+    # Embeddings are 64-dim in the driver testdata (TESTDATA.md).
+    from norsk_historisk_avis_ocr_spark.operators.similarity import (
+        plane_sign_rows,
+    )
+    sign_rows = plane_sign_rows(8, 64)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(s) for s in sign_rows[p])}]::DOUBLE[]) > 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8))
+    lsh_sig_cte = f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST({sig_terms} AS BIGINT) AS lsh_sig
+  FROM embeddings
+)
+"""
+
     cos = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -610,6 +631,28 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                    CAST(a.embedding AS DOUBLE[]))) *
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])))), 3) >= 0.4
+""",
+        "emb_lsh_topk": lsh_sig_cte + """
+, q AS (SELECT lsh_sig AS qsig, e AS qv FROM sig WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qv) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM sig, q WHERE vec_id <> 0 AND lsh_sig = qsig
+)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+""",
+        "emb_dup_pairs_lsh": lsh_sig_cte + """
+, scored AS (
+  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 3) AS cos_sim
+  FROM sig a JOIN sig b
+    ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+)
+SELECT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """,
         "emb_ivf_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel

@@ -63,27 +63,37 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
         .limit(k).select("vec_id", "cos_sim")
 
 
+def plane_sign_rows(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components, derived from the portable 56-bit md5 hash
+    of "p:d" (parity bit). Computed once driver-side — the per-row work is
+    then pure arithmetic against a literal, and the same matrix is
+    reproducible in any engine (the DuckDB oracles embed it)."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"{p}:{d}".encode())
+                        .hexdigest()[:14], 16) & 1 else -1.0
+             for d in range(dim)]
+            for p in range(n_planes)]
+
+
 def hyperplane_signature(emb: DataFrame, n_planes: int = 8,
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
     """Deterministic random-hyperplane LSH signature: plane p's component
     for dimension d is ±1 by parity of a portable hash of (p, d). The
-    signature is an n_planes-bit int; equal signatures → candidate bucket."""
-    from ..functions.textqual import portable_hash60
+    signature is an n_planes-bit int; equal signatures → candidate bucket.
+
+    The sign matrix is precomputed driver-side into array literals (one
+    ``first()`` probe for ``dim`` when not given — O(1) regardless of table
+    size), so each row costs n_planes fused multiply-adds, no hashing."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    signs = plane_sign_rows(n_planes, dim)
     a = F.col(vec_col).cast("array<double>")
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                a,
-                F.transform(F.sequence(F.lit(0), F.size(a) - 1),
-                            lambda d: F.when(
-                                portable_hash60(
-                                    F.concat_ws(":", F.lit(str(p)),
-                                                d.cast("string")))
-                                .bitwiseAND(F.lit(1)) == 1,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda x, s: x * s),
-            F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        proj = F.aggregate(F.zip_with(a, plane, lambda x, s: x * s),
+                           F.lit(0.0).cast("double"), lambda acc, v: acc + v)
         sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("bigint")) \
             .otherwise(F.lit(0).cast("bigint"))
     return emb.withColumn("lsh_sig", sig)
