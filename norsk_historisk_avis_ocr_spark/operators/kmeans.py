@@ -2,16 +2,24 @@
 
 Supplies *learned* coarse cells for the IVF similarity path
 (``similarity.ivf_topk`` uses the provided ``label`` column as its cell id;
-this computes such cells when none exist). Iterative like
-``dedup.connected_components``: per round one broadcast of k centroids, one
-argmin assignment (window, no cross-row shuffle beyond the groupBy), one
-elementwise-mean recompute. Deterministic: seeds are the k smallest
-vec_ids, ties in argmin break toward the smaller centroid id — no RNG.
+this computes such cells when none exist). Deterministic: seeds are the k
+smallest vec_ids, ties in argmin break toward the smaller centroid id — no
+RNG.
+
+Scale shape (the round-1 review flagged the old window-based argmin):
+centroids are O(k·dim) — tiny — so each Lloyd round collects them to the
+driver and embeds them as array literals, exactly how distributed k-means
+implementations broadcast model state. Assignment is then pure per-row
+arithmetic (``array_min`` over (distance, cell) structs — no Exchange keyed
+on vec_id), and the recompute is one k-group aggregation with map-side
+partial aggregation: per iteration, one scan of the (localCheckpoint-ed)
+points and one k-row shuffle — nothing proportional to the corpus crosses
+the wire.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,26 +35,33 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     points = points.localCheckpoint(eager=False)
 
-    centroids = points.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    seeds = points.orderBy("vec_id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
+    dim = len(cents[0][1])
 
-    assigned = None
-    for _ in range(iters):
-        scored = points.crossJoin(F.broadcast(centroids)) \
-            .withColumn("d2", _sq_dist(F.col("v"), F.col("cv")))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cell").asc())
-        assigned = scored.withColumn("rn", F.row_number().over(w)) \
-            .filter("rn = 1").select("vec_id", "v", "cell") \
-            .localCheckpoint(eager=False)
-        # elementwise centroid mean: explode positions, average, reassemble
-        dims = assigned.select(
-            "cell", F.posexplode("v").alias("pos", "x"))
-        means = dims.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-        centroids = means.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"]).alias("cv"))
+    def assign(cent_list):
+        # argmin over a centroid literal: struct ordering gives
+        # (d2 asc, cell asc) — the deterministic tie-break — shuffle-free
+        scored = F.array(*[
+            F.struct(
+                _sq_dist(F.col("v"),
+                         F.array(*[F.lit(x) for x in cv])).alias("d2"),
+                F.lit(cell).cast("bigint").alias("cell"))
+            for cell, cv in cent_list])
+        return points.select(
+            "vec_id", "v", F.array_min(scored)["cell"].alias("cell"))
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        # elementwise centroid mean: dim partial-aggregated avg columns in a
+        # single k-group groupBy (k rows collected — the "broadcast back")
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+        cents = sorted(
+            (int(r["cell"]), [float(r[f"m{i}"]) for i in range(dim)])
+            for r in means.collect())
+        assigned = assign(cents)
     return assigned.select("vec_id", "cell")
 
 
