@@ -48,22 +48,38 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
     a kill processes only un-committed urls (parquet job commits are atomic;
     with Iceberg this is a snapshot append).
     """
+    from pyspark import StorageLevel
+
     from ..sources.sinks import read_done_urls, write_lineage, write_results
     from .extract import extract_pages, split_quarantine
 
     done = read_done_urls(spark, out_path)
-    n_before = done.count()  # parquet metadata count — no scan
     todo = resume_filter(pages, done)
     good, bad = split_quarantine(todo)
     results = extract_pages(good, **(extract_kwargs or {}))
-    # single pass: write directly (no persist/count pre-materialization —
-    # results carry several large text columns and caching them doubles
-    # memory traffic); batch size comes from committed-count deltas
-    write_results(results, out_path)
-    n = read_done_urls(spark, out_path).count() - n_before
-    if n and lineage_path:
-        lineage = partition_lineage(
-            spark.read.parquet(out_path).join(done, "url", "left_anti")) \
-            .withColumn("committed_at", F.lit(int(time.time())))
-        write_lineage(lineage, lineage_path)
+    # One extraction pass total: persist the batch to local disk (not
+    # memory — rows carry multi-KB text columns) so the batch count, the
+    # per-partition lineage, and the commit write all read the materialized
+    # batch. The committed output table is never re-read (the round-1
+    # shape rescanned it twice per batch — O(corpus) at 10^12 rows).
+    #
+    # Ordering matters: the batch plan references out_path (via the
+    # anti-join's done-scan), and appending to a path recaches every
+    # cached plan that reads it — so count/lineage are taken from the
+    # cache BEFORE the append. Lineage rows are one-per-task-partition
+    # (tiny), collected and re-created driver-side so they can be written
+    # AFTER the results commit without touching the invalidated cache.
+    results = results.persist(StorageLevel.DISK_ONLY)
+    try:
+        n = results.count()
+        lineage_rows = (
+            partition_lineage(results).collect()
+            if n and lineage_path else None)
+        write_results(results, out_path)
+        if lineage_rows:
+            lineage = spark.createDataFrame(lineage_rows) \
+                .withColumn("committed_at", F.lit(int(time.time())))
+            write_lineage(lineage, lineage_path)
+    finally:
+        results.unpersist()
     return n
