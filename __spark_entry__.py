@@ -174,10 +174,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.filter("features", lambda x: x > 0)).cast("long")
              .alias("n_pos_features"))
 
+    def raster_layout(spark, sf):
+        """L1-L4 raster segmentation from PNG bytes to geometry (rows-only:
+        the pixel math is not SQL-expressible; correctness is pinned by
+        tests/test_layout_reference_parity.py, which executes the
+        reference's engines/_columns.py side-by-side). Pages are
+        deterministic synthetic newspaper rasters keyed on doc_id, so the
+        corpus scales with sf and every round exercises the full
+        PNG-decode → grayscale → segment path."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_png_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            raster_pages_df,
+        )
+        pages = raster_pages_df(spark, sf, limit=80, partitions=8)
+        geo = segment_png_pages(pages)
+        return geo.select(
+            "page_id",
+            (F.size("boundaries") - 1).cast("long").alias("n_cols"),
+            F.to_json("boundaries").alias("boundaries_json"),
+            F.to_json("body_top").alias("body_top_json"),
+            F.col("title_box.x0").cast("long").alias("title_x0"),
+            F.col("title_box.y1").cast("long").alias("title_y1"),
+            F.size("column_boxes").cast("long").alias("n_boxes"),
+            "decode_error")
+
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
         "extract_pipeline": extract_pipeline,
         "multimodal_features": multimodal_features,
+        "raster_layout": raster_layout,
         # -- window-shaped W1-W4 + friends ---------------------------------
         "w1_runlength_islands":
             lambda s, sf: w.runlength_islands(_t(s, sf, "events")),

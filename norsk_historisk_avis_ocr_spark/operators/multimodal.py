@@ -2,12 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
-pattern the html pipeline uses. The *decode* step is stubbed (no
-PIL/ffmpeg in this container): ``decode_media`` produces deterministic fake
-dimensions/features derived from the bytes, behind a clearly-marked
-switch, while all the Spark-side plumbing — schema, batching, partitioning,
-UDF signatures, feature vectors — is real and tested. Swapping the stub for
-a real decoder changes one function.
+pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG (the
+stdlib codec in ``stages/png.py``: true dimensions + grayscale-histogram
+features); JPEG/audio/video decode is stubbed (no codecs in this
+container) with deterministic fake dimensions/features derived from the
+bytes, behind a clearly-marked switch, while all the Spark-side plumbing —
+schema, batching, partitioning, UDF signatures, feature vectors — is real
+and tested. Swapping a stub branch for a real decoder changes one
+function.
 """
 
 from __future__ import annotations
@@ -54,14 +56,33 @@ def sniff_media_type(data: bytes) -> str:
 
 
 def decode_media(data: bytes) -> dict:
-    """STUB DECODER — deterministic fake decode.
+    """Media decode: REAL for PNG, deterministic stub for everything else.
 
-    Real image/audio libs are unavailable in this container; this produces
-    stable pseudo-metadata and a unit-normalized feature vector from a
-    SHA-256 of the payload so every downstream stage (similarity, dedup,
-    partitioning) is exercised with realistic shapes. Replace the body with
-    PIL/torchvision/ffmpeg calls in production.
+    PNG payloads go through the stdlib decoder (``stages/png.py``) — true
+    dimensions, and the feature vector is a unit-normalized 16-bin
+    grayscale histogram (a real, deterministic image feature). JPEG/audio/
+    video codecs are unavailable in this container, so those payloads get
+    stable pseudo-metadata and a unit-normalized vector derived from a
+    SHA-256 of the bytes — same shapes, swap-in point for
+    PIL/torchvision/ffmpeg in production. A malformed PNG falls through to
+    the stub rather than failing the task (quarantine-by-degradation).
     """
+    if data.startswith(b"\x89PNG"):
+        try:
+            import numpy as np
+
+            from ..stages.png import decode_png, to_grayscale
+            gray = to_grayscale(decode_png(data))
+            hist = np.bincount((gray.ravel() >> 4), minlength=16) \
+                .astype(np.float64)
+            norm = float(np.sqrt((hist * hist).sum())) or 1.0
+            return {
+                "width": int(gray.shape[1]), "height": int(gray.shape[0]),
+                "n_frames": 1,
+                "features": [float(v / norm) for v in hist],
+            }
+        except ValueError:
+            pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8
     height = 256 + digest[1] * 8

@@ -76,3 +76,57 @@ def segment_rasters(df: DataFrame, id_col: str = "page_id",
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, schema=LAYOUT_SCHEMA)
+
+
+def segment_png_pages(df: DataFrame, id_col: str = "page_id",
+                      png_col: str = "png") -> DataFrame:
+    """PNG page payloads → layout geometry rows (the reference's input
+    class: encoded raster in, geometry out, ``tesseract_engine.py:143-144``).
+
+    Decode (stdlib PNG reader, ``stages/png.py``), PIL-compatible grayscale
+    conversion, and L1-L4 segmentation are fused into one Arrow-batched
+    stage — raw pixels never cross an Arrow boundary, only the compressed
+    payload in and the small geometry struct out. Map-only, no shuffle;
+    undecodable payloads yield a null geometry row (quarantine semantics)
+    instead of failing the task.
+    """
+    schema = StructType(
+        [LAYOUT_SCHEMA[0]]
+        + [StructField(f.name, f.dataType, True) for f in LAYOUT_SCHEMA[1:]]
+        + [StructField("decode_error", StringType(), True)])
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..stages.layout import split_columns_geometry
+        from ..stages.png import decode_png, to_grayscale
+
+        def box(t):
+            if t is None:
+                return None
+            return {"x0": int(t[0]), "y0": int(t[1]),
+                    "x1": int(t[2]), "y1": int(t[3])}
+
+        for pdf in batches:
+            rows = []
+            for pid, data in zip(pdf[id_col], pdf[png_col]):
+                try:
+                    gray = to_grayscale(decode_png(bytes(data)))
+                    geo = split_columns_geometry(gray)
+                    rows.append({
+                        "page_id": pid,
+                        "boundaries": [int(x) for x in geo["boundaries"]],
+                        "body_top": [int(x) for x in geo["body_top"]],
+                        "title_box": box(geo["title_box"]),
+                        "column_boxes": [box(b) for b in geo["column_boxes"]],
+                        "decode_error": None,
+                    })
+                except Exception as exc:  # noqa: BLE001 - quarantine row
+                    rows.append({
+                        "page_id": pid, "boundaries": None, "body_top": None,
+                        "title_box": None, "column_boxes": None,
+                        "decode_error": f"{type(exc).__name__}: {exc}",
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=schema)

@@ -1,0 +1,158 @@
+"""Deterministic synthetic newspaper-page rasters (test/bench input).
+
+The reference's native input is scanned newspaper pages
+(``engines/tesseract_engine.py:133-144``); the sandbox has no scan corpus,
+so raster-path tests and the driver contract run on pages synthesized here:
+multi-column layouts with ink dividers (with per-band skew drift), masthead
+regions with title-like large gaps, dense body-text lines, and light paper
+noise — every structure the L1-L4 geometry operators (``stages/layout.py``)
+and the reference's ``engines/_columns.py`` key on.
+
+Determinism: all randomness comes from a ``numpy`` PCG64 generator seeded
+with the md5 of the page id — identical pages on every executor, every
+engine, every run (no Python ``hash()``, no wall clock).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, StringType, StructField, StructType,
+)
+
+PAGE_WIDTH = 1460
+PAGE_HEIGHT = 1100
+
+
+def _rng_for(page_id: str) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.md5(page_id.encode()).digest()[:8], "big")
+    return np.random.default_rng(np.random.PCG64(seed))
+
+
+def _draw_text_lines(img: np.ndarray, rng: np.random.Generator,
+                     x0: int, x1: int, y0: int, y1: int,
+                     line_h: int = 12, gap_h: int = 5,
+                     density: float = 0.55) -> None:
+    """Dense body-text texture: dark speckle rows with thin blank gaps."""
+    y = y0
+    while y + line_h <= y1:
+        xs = np.arange(x0, x1)
+        mask = rng.random(xs.size) < density
+        rows = slice(y, y + line_h)
+        img[rows, x0:x1][:, mask] = rng.integers(
+            0, 120, size=(line_h, int(mask.sum())), dtype=np.uint8)
+        y += line_h + gap_h
+        if rng.random() < 0.08:  # paragraph break
+            y += gap_h * 2
+
+
+def synth_page_array(page_id: str, width: int = PAGE_WIDTH,
+                     height: int = PAGE_HEIGHT) -> np.ndarray:
+    """One deterministic grayscale newspaper page as (H, W) uint8."""
+    rng = _rng_for(page_id)
+    img = rng.integers(236, 256, size=(height, width),
+                       dtype=np.int32).astype(np.uint8)  # light paper noise
+
+    n_cols = int(rng.integers(2, 5))
+    # interior boundaries: even spacing with jitter, gutters stay light
+    bounds = [0]
+    for i in range(1, n_cols):
+        jitter = int(rng.integers(-25, 26))
+        bounds.append(int(i * width / n_cols) + jitter)
+    bounds.append(width)
+
+    # masthead on most pages: title-like lines with >=45-row gaps across a
+    # contiguous column span
+    has_masthead = rng.random() < 0.7
+    masthead_bottom = 0
+    mast_cols = (0, n_cols)
+    if has_masthead:
+        first = int(rng.integers(0, max(1, n_cols - 1)))
+        last = int(rng.integers(first + 1, n_cols + 1))
+        mast_cols = (first, last)
+        mx0, mx1 = bounds[first] + 12, bounds[last] - 12
+        y = 20
+        for _ in range(int(rng.integers(2, 4))):
+            block_h = int(rng.integers(26, 40))
+            img[y:y + block_h, mx0:mx1] = rng.integers(
+                0, 90, size=(block_h, mx1 - mx0), dtype=np.int32
+            ).astype(np.uint8)
+            y += block_h + int(rng.integers(46, 70))  # the "large gap"
+        masthead_bottom = min(y, int(height * 0.38))
+
+    # ink dividers at interior boundaries; one may be omitted to force the
+    # gap-coverage subdivision path (L2). Dividers drift ±skew across bands
+    # (the clustering hazard) and usually skip the masthead span.
+    skip_divider = (int(rng.integers(1, n_cols))
+                    if n_cols >= 3 and rng.random() < 0.35 else -1)
+    band_h = 200
+    n_bands = max(1, height // band_h)
+    for i in range(1, n_cols):
+        if i == skip_divider:
+            continue
+        skew = rng.integers(-6, 7, size=n_bands + 1)
+        in_masthead_span = (has_masthead
+                            and mast_cols[0] < i < mast_cols[1])
+        for b in range(n_bands + 1):
+            y0 = b * band_h
+            y1 = min((b + 1) * band_h, height)
+            if y0 >= y1:
+                continue
+            if in_masthead_span and y0 < masthead_bottom:
+                continue
+            x = bounds[i] + int(skew[b])
+            img[y0:y1, x - 1:x + 2] = 25
+
+    # body text per column, starting below the masthead where covered
+    for c in range(n_cols):
+        x0, x1 = bounds[c] + 14, bounds[c + 1] - 14
+        covered = has_masthead and mast_cols[0] <= c < mast_cols[1]
+        y_top = masthead_bottom + 10 if covered else 18
+        _draw_text_lines(img, rng, x0, x1, y_top, height - 12)
+
+    return img
+
+
+RASTER_SCHEMA = StructType([
+    StructField("page_id", StringType(), False),
+    StructField("png", BinaryType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+])
+
+
+def raster_pages_df(spark: SparkSession, sf_dir: str,
+                    limit: int | None = None,
+                    partitions: int | None = None) -> DataFrame:
+    """Deterministic PNG page per document id at the given scale factor.
+
+    Page ids come from ``documents.parquet`` so the corpus scales with sf;
+    synthesis happens executor-side in one Arrow-batched stage (the driver
+    never holds pixels). ``partitions`` splits the single small parquet
+    input so generation parallelizes (one input split = serial otherwise).
+    """
+    from ..stages.png import encode_png
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if limit is not None:
+        ids = ids.orderBy("doc_id").limit(limit)
+    if partitions:
+        ids = ids.repartition(partitions, F.col("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pid = f"page-{int(doc_id)}"
+                arr = synth_page_array(pid)
+                rows.append({"page_id": pid, "png": encode_png(arr),
+                             "width": arr.shape[1], "height": arr.shape[0]})
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=RASTER_SCHEMA)

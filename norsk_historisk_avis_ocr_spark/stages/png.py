@@ -1,0 +1,139 @@
+"""Pure-stdlib PNG codec (zlib + struct + numpy) — no image libraries.
+
+The reference's native input class is raster newspaper pages decoded by PIL
+(``engines/tesseract_engine.py:133-144``); this container has no image
+codecs, so the raster path ships its own minimal PNG reader/writer:
+
+- :func:`decode_png` — non-interlaced 8-bit grayscale / RGB / RGBA, all
+  five scanline filters. Filters 0-2 (None/Sub/Up) defilter as vectorized
+  numpy (Sub is a per-channel cumsum mod 256); 3-4 (Average/Paeth) fall
+  back to a scanline loop — our own encoder never emits them, they exist
+  for foreign files.
+- :func:`encode_png` — writes filter-0 scanlines (the fast decode path).
+- :func:`to_grayscale` — PIL-compatible ITU-R 601-2 integer luma
+  (``(19595 R + 38470 G + 7471 B + 0x8000) >> 16``), so geometry computed
+  on our decode matches what the reference would compute after
+  ``image.convert("L")``.
+
+Anything unsupported (interlace, 16-bit, palette) raises ``ValueError`` so
+the caller can quarantine rather than mis-decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → PNG bytes (filter 0 rows)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, h, w = 0, arr.shape[0], arr.shape[1]
+        rows = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, h, w = 2, arr.shape[0], arr.shape[1]
+        rows = arr.reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1).tobytes()
+    return (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b""))
+
+
+def _defilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    stride = w * ch
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = data[:, 0]
+    scan = data[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = int(filters[y])
+        row = scan[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-channel cumsum mod 256
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + ((a + prior[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec.astype(np.int16)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W) uint8 for grayscale, (H, W, C) for RGB/RGBA."""
+    if not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = len(_SIGNATURE), 0
+    h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if h is None:
+        raise ValueError("no IHDR chunk")
+    if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth} color={color_type} "
+            f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
+            f"non-interlaced")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG data length mismatch")
+    out = _defilter(raw, h, w, ch)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def to_grayscale(arr: np.ndarray) -> np.ndarray:
+    """RGB/RGBA → L with PIL's integer ITU-R 601-2 luma; gray passes
+    through. Matches ``Image.convert("L")`` byte-for-byte on RGB input,
+    which is what the reference applies before segmentation
+    (``engines/_columns.py:442``)."""
+    if arr.ndim == 2:
+        return arr
+    rgb = arr[:, :, :3].astype(np.uint32)
+    luma = (19595 * rgb[:, :, 0] + 38470 * rgb[:, :, 1]
+            + 7471 * rgb[:, :, 2] + 0x8000) >> 16
+    return luma.astype(np.uint8)

@@ -1,0 +1,149 @@
+"""Stdlib PNG codec + PNG→geometry raster path + deterministic raster
+source (the reference's native input class: encoded page in, geometry out,
+``engines/tesseract_engine.py:133-144``)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from norsk_historisk_avis_ocr_spark.stages.png import (
+    _SIGNATURE, _chunk, decode_png, encode_png, to_grayscale,
+)
+
+
+def test_png_roundtrip_gray_and_rgb():
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g)), g)
+    c = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(c)), c)
+
+
+def _filter_scanlines(img, ch, ftypes):
+    """Apply PNG scanline filters (the encoder side our writer skips) so
+    the decoder's defilter paths 1-4 get exercised against ground truth."""
+    h = img.shape[0]
+    stride = img.reshape(h, -1).shape[1]
+    flat = img.reshape(h, stride).astype(np.int16)
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int16)
+    for y, f in zip(range(h), ftypes):
+        row = flat[y]
+        enc = np.zeros(stride, dtype=np.int16)
+        for x in range(stride):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prior[x])
+            c = int(prior[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prior = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape,ctype,ch", [((9, 7), 0, 1), ((8, 6, 3), 2, 3)])
+def test_png_decode_all_filter_types(shape, ctype, ch):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    ftypes = [0, 1, 2, 3, 4, 0, 3, 4, 1][:shape[0]]
+    raw = _filter_scanlines(img, ch, ftypes)
+    ihdr = struct.pack(">IIBBBBB", shape[1], shape[0], 8, ctype, 0, 0, 0)
+    png = (_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)  # 16-bit depth
+    png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(png)
+
+
+def test_grayscale_matches_pil_luma_formula():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    r, g, b = (rgb[..., i].astype(int) for i in range(3))
+    expect = ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16)
+    assert np.array_equal(to_grayscale(rgb), expect.astype(np.uint8))
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    assert to_grayscale(gray) is gray
+
+
+def test_decode_media_real_png_dimensions_and_histogram():
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media,
+    )
+    img = np.full((40, 60), 255, dtype=np.uint8)
+    img[:20] = 10  # half dark, half light
+    meta = decode_media(encode_png(img))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (60, 40, 1)
+    feats = np.array(meta["features"])
+    assert len(feats) == 16
+    assert np.isclose(np.sqrt((feats ** 2).sum()), 1.0)
+    # mass sits in bins 0 (value 10) and 15 (value 255), equally
+    assert feats[0] == pytest.approx(feats[15])
+    assert feats[0] > 0.7 and feats[1:15].sum() == 0
+
+
+def test_segment_png_pages_matches_local(spark):
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_png_pages,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.rasters import (
+        synth_page_array,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.layout import (
+        split_columns_geometry,
+    )
+    pids = [f"png-{i}" for i in range(4)]
+    rows = [(p, bytearray(encode_png(synth_page_array(p)))) for p in pids]
+    df = spark.createDataFrame(rows, "page_id string, png binary")
+    got = {r.page_id: r for r in segment_png_pages(df).collect()}
+    for p in pids:
+        local = split_columns_geometry(synth_page_array(p))
+        assert got[p].decode_error is None
+        assert got[p].boundaries == local["boundaries"]
+        assert got[p].body_top == local["body_top"]
+
+
+def test_segment_png_pages_quarantines_bad_payload(spark):
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_png_pages,
+    )
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"))],
+        "page_id string, png binary")
+    r = segment_png_pages(df).first()
+    assert r.boundaries is None and r.decode_error is not None
+
+
+def test_raster_pages_df_deterministic(spark, sf_dir):
+    from norsk_historisk_avis_ocr_spark.sources.rasters import (
+        raster_pages_df,
+    )
+    a = {r.page_id: bytes(r.png)
+         for r in raster_pages_df(spark, sf_dir, limit=6).collect()}
+    b = {r.page_id: bytes(r.png)
+         for r in raster_pages_df(spark, sf_dir, limit=6, partitions=3)
+         .collect()}
+    assert a == b and len(a) == 6
+    arr = decode_png(next(iter(a.values())))
+    assert arr.shape == (1100, 1460)
