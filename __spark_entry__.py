@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard":
             lambda s, sf: dd.ngram_jaccard_pairs(
                 _t(s, sf, "documents"), k=3, threshold=0.12),
+        "dedup_ngram_capped":
+            lambda s, sf: dd.ngram_jaccard_pairs(
+                _t(s, sf, "documents"), k=3, threshold=0.12,
+                max_shingle_df=3),
         "minhash_signatures":
             lambda s, sf: dd.minhash_signatures(_t(s, sf, "documents")),
         "dedup_minhash_lsh":
@@ -538,6 +542,26 @@ FROM documents
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+""",
+        # hot-shingle cap: shingles with document frequency > 3 are dropped
+        # on both sides (stopword-filtered Jaccard) — the candidate-blowup
+        # guard ngram_jaccard_pairs(max_shingle_df=3) applies
+        "dedup_ngram_capped": shingles_cte + """
+, rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 3),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -121,13 +121,27 @@ def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Near-dup pairs by exact Jaccard over distinct k-word shingles.
 
     Candidate pairs come from sharing ≥1 shingle (an equi-join, not a cross
     join); J = |A∩B| / (|A|+|B|−|A∩B|).
+
+    ``max_shingle_df`` is the hot-shingle (stopword) cap that makes this
+    scale-safe: a shingle shared by m docs emits m(m−1)/2 candidate rows, so
+    boilerplate shingles blow the join up quadratically at corpus scale.
+    With the cap, shingles whose document frequency exceeds it are dropped
+    from BOTH the candidate join and the size/intersection counts — the
+    standard stopword-filtered Jaccard variant (overlap consisting purely of
+    boilerplate no longer pairs documents, which is usually the point).
+    None keeps exact full Jaccard (bounded corpora only).
     """
     sh = distinct_shingles(docs, k)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
+            .filter(F.col("df") <= max_shingle_df).select("shingle")
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -85,6 +85,29 @@ def test_ngram_jaccard_identical_docs(spark):
     assert (got[0].doc_a, got[0].doc_b, got[0].jaccard) == (1, 2, 1.0)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # docs 1-4 share only the boilerplate shingle (df=4); docs 1+2 also
+    # share unique content. With the cap the boilerplate-only pairs vanish
+    # and jaccard is computed over the capped sets on both sides.
+    boiler = "felles bunntekst her"
+    # per-doc separator words keep cross-boundary shingles unique, so the
+    # ONLY shingle shared by docs 3 and 4 is the boilerplate itself (df=4)
+    df = spark.createDataFrame(
+        [(1, f"unik tekst en a1 {boiler}"), (2, f"unik tekst en a2 {boiler}"),
+         (3, f"noe helt annet a3 {boiler}"),
+         (4, f"enda mer annet a4 {boiler}")],
+        "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in dd.ngram_jaccard_pairs(df, k=3,
+                                                threshold=0.01).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in dd.ngram_jaccard_pairs(
+                  df, k=3, threshold=0.01, max_shingle_df=3).collect()}
+    assert (3, 4) in uncapped       # boilerplate-only overlap pairs...
+    assert (3, 4) not in capped     # ...are exactly what the cap removes
+    assert (1, 2) in capped         # real-content overlap survives
+
+
 def test_minhash_lsh_finds_identical(spark):
     text = "en to tre fire fem seks sju åtte ni ti"
     df = spark.createDataFrame(
