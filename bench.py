@@ -108,6 +108,30 @@ def main():
             proj_times.append(time.time() - t0)
         results["extract_projected"] = round(min(proj_times), 3)
 
+        # raster leg: PNG decode → grayscale → L1-L4 geometry (the
+        # reference's native input class). Page synthesis is untimed for
+        # the same reason the html pages table is pre-materialized.
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_png_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            raster_pages_df,
+        )
+        raster_path = os.path.join(tmp, "rasters")
+        raster_pages_df(spark, sf_dir, limit=1024, partitions=cpus) \
+            .write.parquet(raster_path)
+        rasters = spark.read.parquet(raster_path)
+        n_pages = rasters.count()
+        seg = segment_png_pages(rasters)
+        _noop(seg)  # warm
+        seg_times = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop(seg)
+            seg_times.append(time.time() - t0)
+        results["raster_segment"] = round(min(seg_times), 3)
+        raster_pages_per_sec = round(n_pages / min(seg_times), 1)
+
         analytics = {
             "w1_islands": lambda: w.runlength_islands(t("events")),
             "w4_reading_order": lambda: w.reading_order_concat(t("lineitem")),
@@ -147,6 +171,7 @@ def main():
             "sf": sf,
             "docs": n_docs,
             "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+            "raster_pages_per_sec": raster_pages_per_sec,
             "extract_warmup_sec": round(warmup_sec, 3),
             "cpus": cpus,
         }))

@@ -137,11 +137,16 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     boilerplate no longer pairs documents, which is usually the point).
     None keeps exact full Jaccard (bounded corpora only).
     """
-    sh = distinct_shingles(docs, k)
+    # the shingle set is reused 3-5× below (df filter, sizes, both join
+    # sides); without materialization Catalyst re-derives the explode +
+    # distinct subtree per use (measured: 44 Exchanges in the capped plan).
+    # Same pattern as minhash signatures: localCheckpoint here, a shingle
+    # TABLE at 10^12-row scale.
+    sh = distinct_shingles(docs, k).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").agg(F.count("*").alias("df")) \
             .filter(F.col("df") <= max_shingle_df).select("shingle")
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -58,6 +58,8 @@ def _defilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     stride = w * ch
     data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = data[:, 0]
+    if not filters.any():  # all filter-0 (what encode_png writes): no
+        return data[:, 1:].copy()  # per-row defilter work at all
     scan = data[:, 1:].astype(np.int16)
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
