@@ -277,6 +277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: dd.connected_components(
                 dd.minhash_lsh_pairs(_t(s, sf, "documents"),
                                      est_threshold=0.125)),
+        "dedup_components_star":
+            lambda s, sf: dd.connected_components_star(
+                dd.minhash_lsh_pairs(_t(s, sf, "documents"),
+                                     est_threshold=0.125)),
         "simhash_values":
             lambda s, sf: dd.simhash_values(_t(s, sf, "documents")),
         "dedup_simhash":
@@ -394,6 +398,34 @@ WITH sig AS (
          CAST({sig_terms} AS BIGINT) AS lsh_sig
   FROM embeddings
 )
+"""
+
+    components_oracle = sig_cte.replace(
+        "WITH toks", "WITH RECURSIVE toks", 1) + f""",
+banded AS ({' UNION ALL '.join(band_keys)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE ({eq_terms}) / 16.0 >= 0.125
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, x.dst FROM reach r JOIN e x ON r.dst = x.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+FROM reach GROUP BY src
 """
 
     cos = """
@@ -587,32 +619,10 @@ JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
 WHERE ({eq_terms}) / 16.0 >= 0.125
 """,
-        "dedup_components": sig_cte.replace("WITH toks", "WITH RECURSIVE toks", 1) + f""",
-banded AS ({' UNION ALL '.join(band_keys)}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM cand
-  JOIN sig sa ON sa.doc_id = doc_a
-  JOIN sig sb ON sb.doc_id = doc_b
-  WHERE ({eq_terms}) / 16.0 >= 0.125
-),
-e AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-reach AS (
-  SELECT src, dst FROM e
-  UNION
-  SELECT r.src, x.dst FROM reach r JOIN e x ON r.dst = x.src
-)
-SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
-FROM reach GROUP BY src
-""",
+        "dedup_components": components_oracle,
+        # same transitive-closure oracle: the large-star/small-star variant
+        # must produce the identical (doc_id, component_id) labeling
+        "dedup_components_star": components_oracle,
         "simhash_values": f"""
 WITH toks AS (
   SELECT DISTINCT doc_id,

@@ -104,6 +104,73 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                          F.col("label").alias("component_id"))
 
 
+def connected_components_star(pairs: DataFrame,
+                              max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star — the
+    10^12-row scale path, same output contract as
+    :func:`connected_components` (component_id = min doc id).
+
+    Each round is two neighborhood aggregations over the edge list
+    (Kiveris-style star operations, public MapReduce-CC literature):
+
+    - large-star: every node u links each strictly-larger neighbor v to
+      ``m = min(Γ(u) ∪ {u})``;
+    - small-star: every node u links its strictly-smaller neighbors and
+      itself to the minimum of that set.
+
+    Converges in O(log diameter) rounds (vs O(diameter) for plain
+    min-label propagation) — the difference between 2-3 and dozens of
+    rounds on pathological chain-shaped duplicate sets; each round is
+    groupBy+join keyed on node id, so skew follows the max degree, which
+    LSH bucket caps already bound upstream. Per-round localCheckpoint cuts
+    the iterative lineage (a table write at production scale).
+    """
+    base = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")) \
+        .filter(F.col("u") != F.col("v"))
+    nodes = base.select(F.col("u").alias("node")).unionAll(
+        base.select(F.col("v").alias("node"))).distinct() \
+        .localCheckpoint(eager=False)
+    e = base.select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v")).distinct() \
+        .localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        nbr = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m over ALL neighbors ∪ self; emit (v, m) for v > u
+        m_all = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"))
+        large = nbr.join(m_all, "u").filter(F.col("v") > F.col("u")) \
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # small-star over the large-star output
+        nbr2 = large.unionAll(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+            .distinct()
+        nbr_lt = nbr2.filter(F.col("v") < F.col("u"))
+        m_small = nbr_lt.groupBy("u").agg(F.min("v").alias("m"))
+        small = nbr_lt.join(m_small, "u") \
+            .select(F.col("v").alias("u"), F.col("m").alias("v")) \
+            .unionAll(m_small.select(F.col("u"), F.col("m").alias("v")))
+        new_e = small.filter(F.col("u") != F.col("v")) \
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v")).distinct() \
+            .localCheckpoint(eager=False)
+        stable = (new_e.exceptAll(e).limit(1).count() == 0
+                  and e.exceptAll(new_e).limit(1).count() == 0)
+        e = new_e
+        if stable:
+            break
+
+    # converged edge set is a star forest: non-min nodes hold an edge to
+    # their component min; min nodes label themselves
+    star = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .filter(F.col("v") < F.col("u")) \
+        .groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    return nodes.join(star, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", "node").alias("component_id"))
+
+
 def dedup_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Corpus minus all non-representative members of duplicate clusters
     (transitive closure — stronger than :func:`drop_near_duplicates`)."""

@@ -239,6 +239,27 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comps) == 12
 
 
+def test_connected_components_star_matches_propagation(spark):
+    import random
+    cases = [
+        [(1, 2), (2, 3), (7, 9)],                    # chain + pair
+        [(i, i + 1) for i in range(1, 20)],          # long path (O(log) vs
+                                                      # O(diameter) rounds)
+        [(1, 2), (1, 3), (2, 3), (10, 11), (12, 13), (11, 12)],
+    ]
+    rng = random.Random(42)
+    cases.append([(rng.randrange(60), rng.randrange(60))
+                  for _ in range(80)])                # random multigraph
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        ref = {r.doc_id: r.component_id
+               for r in dd.connected_components(pairs, max_iter=60).collect()}
+        star = {r.doc_id: r.component_id
+                for r in dd.connected_components_star(pairs).collect()}
+        assert star == ref
+
+
 def test_dedup_by_components(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(1, 6)], "doc_id long, text string")
