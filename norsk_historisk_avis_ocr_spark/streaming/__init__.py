@@ -1,10 +1,60 @@
-"""Streaming is intentionally out of scope.
+"""Incremental (Structured Streaming) ingest of a growing pages table.
 
 The reference is a batch pipeline with file-granularity resume
-(``ocr.py:45-47``); the north rule asks for batch with checkpoint/lineage
-semantics, which :mod:`..operators.resume` provides via anti-join +
-atomic commits. Event-time/sessionization *logic* that would back an
-incremental variant lives as batch window operators in
-:mod:`..operators.windows` (sessionize_events) and would transfer directly
-to ``applyInPandasWithState`` if a streaming source ever existed.
+(``ocr.py:45-47``), and the batch path here mirrors that via anti-join +
+atomic commits (:mod:`..operators.resume`). A continuously-crawled corpus
+also wants the *incremental* shape: new page files land in a directory and
+only they are processed. Because the extraction stage is a stateless map
+(one ``mapInPandas``), the exact same operator runs unchanged on a
+streaming DataFrame — Structured Streaming's file source + sink checkpoint
+then provides the done-marker semantics for free (exactly-once per input
+file, resumable after a kill), which is the streaming analog of
+``run_with_resume``.
+
+No watermarks or stateful operators are needed for extraction itself (the
+reference has none — SURVEY.md §2.10); the event-time/sessionization logic
+that would back a stateful variant lives as batch window operators in
+:mod:`..operators.windows` and would transfer to
+``applyInPandasWithState`` if ever needed.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the Common-Crawl-style pages schema (BASELINE input_hint)
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of a pages directory (parquet file source). File
+    sources require an explicit schema; ``maxFilesPerTrigger`` bounds
+    per-micro-batch work on a large backlog."""
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_incremental(spark: SparkSession, in_path: str, out_path: str,
+                    checkpoint_path: str,
+                    extract_kwargs: dict | None = None) -> None:
+    """Process all pages files not yet seen by this checkpoint, then stop
+    (``availableNow`` trigger — the batch-of-the-backlog mode). Re-running
+    after new files land processes only the new files; re-running after a
+    kill resumes from the checkpoint without duplicating committed output
+    (file-source progress + file-sink manifest are both in the
+    checkpoint)."""
+    from ..operators.extract import extract_pages, split_quarantine
+
+    pages = read_pages_stream(spark, in_path)
+    good, _bad = split_quarantine(pages)
+    results = extract_pages(good, **(extract_kwargs or {}))
+    q = results.writeStream.format("parquet") \
+        .option("path", out_path) \
+        .option("checkpointLocation", checkpoint_path) \
+        .trigger(availableNow=True) \
+        .start()
+    q.awaitTermination()
