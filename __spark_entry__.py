@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs_lsh":
             lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
                                                       threshold=0.3),
+        "emb_dup_pairs_lsh_probed":
+            lambda s, sf: sim.embedding_dup_pairs_lsh(
+                _t(s, sf, "embeddings"), threshold=0.3, multi_probe=True),
         "dedup_keep_first": _dedup_keep_first,
         # -- skew handling ----------------------------------------------------
         "salted_hot_key_count": _salted_hot_key_count,
@@ -715,6 +718,26 @@ SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
     ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
 )
 SELECT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+""",
+        # multi-probe: one join side also probes every one-bit-flipped
+        # signature → recall of hamming<=1 signature pairs
+        "emb_dup_pairs_lsh_probed": lsh_sig_cte + f"""
+, probes AS (
+  SELECT vec_id, e,
+         unnest([lsh_sig,
+                 {', '.join(f'xor(lsh_sig, {1 << p})' for p in range(8))}])
+             AS probe
+  FROM sig
+),
+scored AS (
+  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 3) AS cos_sim
+  FROM probes a JOIN sig b
+    ON b.lsh_sig = a.probe AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """,
         "emb_ivf_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel

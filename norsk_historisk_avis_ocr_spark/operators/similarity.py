@@ -127,22 +127,37 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 
 def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
-                            n_planes: int = 8) -> DataFrame:
+                            n_planes: int = 8,
+                            multi_probe: bool = False) -> DataFrame:
     """Scale path for embedding dedup: hyperplane-LSH bucket candidates
     (equal signature → probable high cosine), exact verify inside buckets.
-    Recall < 1 by construction (bucket misses); at 10^12 rows you run
-    several plane families and union, trading recall for the avoided
-    cross join."""
+    Recall < 1 by construction (bucket misses).
+
+    ``multi_probe=True`` additionally probes every one-bit-flipped
+    signature on one join side, so pairs whose signatures differ in a
+    single plane (the dominant near-miss for high-cosine pairs) are also
+    candidates — recall of hamming ≤ 1 for an (n_planes+1)× candidate-key
+    fan-out on one side, still a bucketed equi-join, still never a cross
+    join. The classic alternative — more plane families unioned — costs a
+    full extra signature pass per family."""
     signed = hyperplane_signature(emb, n_planes)
     a = signed.select(F.col("vec_id").alias("vid_a"),
                       F.col("embedding").cast("array<double>").alias("ea"),
                       F.col("lsh_sig").alias("sig_a"))
+    if multi_probe:
+        probes = F.array(F.col("sig_a"),
+                         *[F.col("sig_a").bitwiseXOR(F.lit(1 << p))
+                           for p in range(n_planes)])
+        a = a.select("vid_a", "ea",
+                     F.explode(probes).alias("sig_a"))
     b = signed.select(F.col("vec_id").alias("vid_b"),
                       F.col("embedding").cast("array<double>").alias("eb"),
                       F.col("lsh_sig").alias("sig_b"))
     pairs = a.join(b, (F.col("sig_a") == F.col("sig_b")) &
                    (F.col("vid_a") < F.col("vid_b")))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
-    return pairs.select(
-        "vid_a", "vid_b", F.round(cos, 3).alias("cos_sim")) \
-        .filter(F.col("cos_sim") >= threshold)
+    out = pairs.select(
+        "vid_a", "vid_b", F.round(cos, 3).alias("cos_sim"))
+    if multi_probe:
+        out = out.distinct()  # a pair can match via several probes
+    return out.filter(F.col("cos_sim") >= threshold)

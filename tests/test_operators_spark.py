@@ -205,6 +205,24 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
     assert (0, 100) in lsh       # identical vectors always share the bucket
 
 
+def test_embedding_dup_pairs_multi_probe_recall(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vid_a, r.vid_b)
+             for r in sim.embedding_dup_pairs(df, threshold=0.3).collect()}
+    single = {(r.vid_a, r.vid_b)
+              for r in sim.embedding_dup_pairs_lsh(df, threshold=0.3)
+              .collect()}
+    probed = {(r.vid_a, r.vid_b)
+              for r in sim.embedding_dup_pairs_lsh(
+                  df, threshold=0.3, multi_probe=True).collect()}
+    assert single <= probed <= exact   # probes add recall, never invent
+    assert len(probed) > len(single)   # ...and actually add some here
+
+
 def test_dedup_keep_first_materializer(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "y")],
