@@ -286,6 +286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash":
             lambda s, sf: dd.simhash_dup_pairs(
                 _t(s, sf, "documents"), max_hamming=12),
+        # at max_hamming=3 the 4-chunk pigeonhole is a TRUE recall
+        # guarantee (>=1 untouched chunk); the 12-distance variant above is
+        # approximate by construction (see simhash_dup_pairs docstring)
+        "dedup_simhash_h3":
+            lambda s, sf: dd.simhash_dup_pairs(
+                _t(s, sf, "documents"), max_hamming=3),
         # -- similarity search ---------------------------------------------
         "emb_cosine_topk":
             lambda s, sf: sim.cosine_topk(_t(s, sf, "embeddings"), 0, k=10),
@@ -401,6 +407,41 @@ WITH sig AS (
          CAST({sig_terms} AS BIGINT) AS lsh_sig
   FROM embeddings
 )
+"""
+
+    simhash_pairs_oracle = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 14)) & 16383 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM keyed a JOIN keyed b
+    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
 """
 
     components_oracle = sig_cte.replace(
@@ -644,40 +685,10 @@ SELECT doc_id,
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
-        "dedup_simhash": f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
-),
-h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
-bits AS (
-  SELECT doc_id, b.bit,
-         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b
-  GROUP BY doc_id, b.bit
-),
-sh AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
-                       ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-),
-keyed AS (
-  SELECT doc_id, simhash, c.chunk,
-         (simhash >> (c.chunk * 14)) & 16383 AS chunk_val
-  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM keyed a JOIN keyed b
-    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-       AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
-""",
+        "dedup_simhash": simhash_pairs_oracle,
+        # same pipeline, threshold where the 4-chunk pigeonhole guarantees
+        # full recall
+        "dedup_simhash_h3": simhash_pairs_oracle.replace("<= 12", "<= 3"),
         "emb_cosine_topk": cos +
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
         "emb_dup_pairs": """
