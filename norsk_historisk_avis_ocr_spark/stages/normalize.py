@@ -27,8 +27,12 @@ Semantics:
 
 from __future__ import annotations
 
+import re
+
 # Characters considered token-edge punctuation (kept, not normalized).
 _PUNCT = ".,;:!?«»\"'()[]{}-–—"
+
+_WS_SPLIT = re.compile(r"(\s+)")
 
 
 class _TrieNode:
@@ -92,8 +96,7 @@ class OrthographyNormalizer:
         the original whitespace (spaces, newlines, blank-line section
         separators) is preserved byte-for-byte. A multi-token phrase match
         collapses its interior whitespace into the single replacement."""
-        import re
-        parts = re.split(r"(\s+)", text)
+        parts = _WS_SPLIT.split(text)
         # parts alternates token, sep, token, ... (possibly empty edges)
         tokens = parts[0::2]
         seps = parts[1::2]  # sep[i] follows token[i]
