@@ -90,6 +90,39 @@ def test_size_bucketed_repartition_plan(spark, pages_parquet):
     assert df.count() == pages.count()
 
 
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """Round-2 fix: Lloyd argmin must not shuffle points per iteration —
+    the final assignment plan is a pure Project over the checkpointed
+    scan (centroid literals + array_min), no Exchange keyed on vec_id."""
+    from norsk_historisk_avis_ocr_spark.operators.kmeans import kmeans_assign
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = _plan(kmeans_assign(emb, k=4, iters=2))
+    assert "Exchange" not in plan, plan
+
+
+def test_hyperplane_signature_has_no_hashing_in_plan(spark, sf_dir):
+    """Round-2 fix: the ±1 sign matrix is precomputed into literals — the
+    per-row expression must contain no md5/conv calls."""
+    from norsk_historisk_avis_ocr_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = _plan(hyperplane_signature(emb, n_planes=4))
+    assert "md5" not in plan and "conv(" not in plan, plan
+
+
+def test_ngram_jaccard_capped_shares_shingle_subtree(spark, sf_dir):
+    """Round-2 fix: the shingle set is checkpointed so its explode+distinct
+    subtree is not re-derived per reuse (was 44 Exchanges)."""
+    from norsk_historisk_avis_ocr_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(ngram_jaccard_pairs(docs, k=3, threshold=0.12,
+                                     max_shingle_df=3))
+    assert plan.count("Exchange") <= 14, plan.count("Exchange")
+
+
 def test_bucketed_join_is_shuffle_free(spark, pages_parquet, tmp_path):
     """Bucketing both sides on the join key removes the shuffle entirely
     (co-located join): the resume anti-join pattern at warehouse scale."""
