@@ -158,8 +158,16 @@ class _BlockParser(HTMLParser):
 
 _RAW_CONTENT = re.compile(r"<(script|style)\b[^>]*>.*?(</\1\s*>|\Z)",
                           re.S | re.I)
-_TOKEN = re.compile(r"<!--.*?(?:-->|\Z)|<!?[^>]*(?:>|\Z)|[^<]+", re.S)
-_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+# One fused token pattern: comment | named tag (slash, name, attrs, close
+# captured — no second regex pass per tag) | other <!-/<?- markup | text.
+# The named-tag alternative accepts exactly the tokens the old two-pass
+# scanner classified as tags (same spans: maximal to the first '>'), so
+# builder events are unchanged (equality-tested vs stdlib HTMLParser).
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)([^>]*)(>?)"
+    r"|<!?[^>]*(?:>|\Z)"
+    r"|[^<]+", re.S)
 
 
 def _scan_fast(html_str: str) -> list[Block]:
@@ -174,36 +182,31 @@ def _scan_fast(html_str: str) -> list[Block]:
     html_str = _RAW_CONTENT.sub(lambda m: f"<{m.group(1)}></{m.group(1)}>",
                                 html_str)
     b = _BlockBuilder()
+    text = b.text
     for m in _TOKEN.finditer(html_str):
-        tok = m.group(0)
-        c0 = tok[0]
-        if c0 != "<":
-            b.text(unescape(tok) if "&" in tok else tok)
-            continue
-        if not tok.endswith(">"):
-            if not tok.startswith("<!--"):
+        name = m.group(2)
+        if name is not None:
+            if not m.group(4):
                 # unterminated tag at EOF — stdlib flushes it as data
-                b.text(tok)
-            continue
-        if tok.startswith(("<!", "<?")):
-            continue
-        tm = _TAG_NAME.match(tok)
-        if tm is None:
-            continue
-        name = tm.group(1).lower()
-        if tok[1] == "/":
-            b.end(name)
-        else:
-            b.start(name)
-            if tok.endswith("/>") and name not in BREAK_TAGS \
-                    and name not in BLOCK_TAGS:
-                # self-closing inline element: stdlib emits startendtag,
-                # which our builder ignores for non-br; match that
-                pass
-            elif tok.endswith("/>") and name in BLOCK_TAGS:
-                # `<div/>`-style: stdlib emits only startendtag (no block);
-                # close it immediately so it stays an empty (filtered) block
+                text(m.group(0))
+                continue
+            name = name.lower()
+            if m.group(1):
                 b.end(name)
+            else:
+                b.start(name)
+                # `<div/>`-style: stdlib emits only startendtag (no block);
+                # close it immediately so it stays an empty (filtered)
+                # block. Self-closing inline elements stay ignored.
+                if name in BLOCK_TAGS and m.group(3).endswith("/"):
+                    b.end(name)
+            continue
+        tok = m.group(0)
+        if tok[0] != "<":
+            text(unescape(tok) if "&" in tok else tok)
+        elif not tok.endswith(">") and not tok.startswith("<!--"):
+            # unterminated declaration/PI at EOF — stdlib flushes as data
+            text(tok)
     return b.finish()
 
 
