@@ -319,6 +319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, sf: q.fingerprints(_t(s, sf, "documents")),
         "stopword_ratios":
             lambda s, sf: q.stopword_ratios(_t(s, sf, "documents")),
+        # composed pipeline: dedup (keep-first over the planted-duplicate
+        # corpus) → language allowlist → quality floor → token counts
+        "corpus_prep":
+            lambda s, sf: q.corpus_prep(
+                _t(s, sf, "documents").select("doc_id", "text").unionAll(
+                    _t(s, sf, "documents").select(
+                        (F.col("doc_id") + 100000).alias("doc_id"), "text")),
+                min_quality=0.6, langs=("en",)),
     }
 
 
@@ -875,5 +883,51 @@ SELECT doc_id,
        ROUND(len(list_filter(toks, x -> list_contains([{sw_en}], x)))
              / GREATEST(len(toks), 1), 6) AS en_stopword_ratio
 FROM t
+""",
+        "corpus_prep": f"""
+WITH markers(cand_lang, word) AS (VALUES {markers}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN keepers k ON c.doc_id = k.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM kept
+),
+hits AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS hits
+  FROM toks JOIN markers USING (word) GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM hits
+),
+scored AS (
+  SELECT k.doc_id,
+         COALESCE(b.cand_lang, 'und') AS pred_lang,
+         ROUND(LEAST(length(k.text) / 200.0, 1.0)
+               * (length(regexp_replace(k.text, '[^A-Za-zÆØÅæøå]', '', 'g'))
+                  / GREATEST(length(k.text), 1))
+               * (1.0 - LEAST((length(regexp_replace(k.text, '[^.,;:!?|]',
+                                                     '', 'g'))
+                               / GREATEST(length(k.text), 1)) * 5, 1.0)), 6)
+             AS quality,
+         CAST(CASE WHEN length(trim(k.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(k.text), '\\s+')) END
+              AS BIGINT) AS n_ws_tokens
+  FROM kept k LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON k.doc_id = b.doc_id
+)
+SELECT doc_id, pred_lang, quality, n_ws_tokens FROM scored
+WHERE quality >= 0.6 AND pred_lang IN ('en')
 """,
     }

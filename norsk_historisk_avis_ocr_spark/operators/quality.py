@@ -39,6 +39,31 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lang_hit_cols() -> list:
+    """Per-language marker-hit columns (each evaluated once in its own
+    projection — the two-step select keeps the array scans out of the
+    winner expressions)."""
+    toks = tokens(F.lower(F.col("text")))
+
+    def _hits(lang):
+        sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) \
+            .cast("long").alias(f"hits_{lang}")
+
+    return [_hits(lang) for lang in sorted(STOPWORDS)]
+
+
+def _lang_winner():
+    """(pred_lang, best_hits) expressions over the named hit columns."""
+    langs = sorted(STOPWORDS)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((best_hits > 0) & (F.col(f"hits_{lang}") == best_hits),
+                      F.lit(lang)).otherwise(pred)
+    return pred, best_hits
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language classifier, shuffle-free: per language,
     hits = count of tokens in the marker set via array ``filter`` (the
@@ -49,24 +74,36 @@ def language_id(docs: DataFrame) -> DataFrame:
     thing with two shuffles; this stays inside one project node — at
     10^12 rows that is the difference between a scan and a job.)
     """
-    toks = tokens(F.lower(F.col("text")))
-    langs = sorted(STOPWORDS)
-    def _hits(lang):
-        sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) \
-            .cast("long").alias(f"hits_{lang}")
-
-    hit_cols = [_hits(lang) for lang in langs]
-    scored = docs.select("doc_id", *hit_cols)
-    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties → apply last
-        pred = F.when((best_hits > 0) & (F.col(f"hits_{lang}") == best_hits),
-                      F.lit(lang)).otherwise(pred)
+    scored = docs.select("doc_id", *_lang_hit_cols())
+    pred, best_hits = _lang_winner()
     return scored.select(
         "doc_id", pred.alias("pred_lang"),
         F.when(best_hits > 0, best_hits).otherwise(F.lit(0).cast("long"))
          .alias("marker_hits"))
+
+
+def corpus_prep(docs: DataFrame, min_quality: float = 0.6,
+                langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """Composed corpus hygiene — the prep a training-data pipeline runs
+    between extraction and tokenization, in one operator: exact dedup
+    (keep-first), language allowlist, quality floor, token counts.
+
+    Scale shape: the dedup is one hash aggregation + semi-join; language,
+    quality, and token counting are column expressions in a single
+    projection over the surviving rows (no further shuffle, no UDF) —
+    adding the hygiene columns to a 100 TB pass costs scan time only.
+    """
+    from .dedup import dedup_keep_first
+    kept = dedup_keep_first(docs).select("doc_id", "text")
+    s1 = kept.select("doc_id", "text", *_lang_hit_cols())
+    pred, _best = _lang_winner()
+    scored = s1.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"))
+    return scored.filter((F.col("quality") >= min_quality) &
+                         F.col("pred_lang").isin(*langs))
 
 
 def fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:

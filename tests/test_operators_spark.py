@@ -223,6 +223,25 @@ def test_embedding_dup_pairs_multi_probe_recall(spark):
     assert len(probed) > len(single)   # ...and actually add some here
 
 
+def test_corpus_prep_composed_filters(spark):
+    from norsk_historisk_avis_ocr_spark.operators.quality import corpus_prep
+    en = ("the cat and the dog went to the house and it is known that "
+          "they sat there for hours with the others and all was well " * 3)
+    no = ("og det var som om ikke noe kunne skje på denne dagen å jeg "
+          "visste hvad det var " * 4)
+    docs = spark.createDataFrame(
+        [(1, en), (2, en), (3, no), (4, "x! ??")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           corpus_prep(docs, min_quality=0.3, langs=("en",)).collect()}
+    assert set(got) == {1}            # dup 2 dropped, no-lang 3, junk 4
+    assert got[1].pred_lang == "en" and got[1].quality >= 0.3
+    assert got[1].n_ws_tokens > 50
+    # language allowlist is honored
+    both = corpus_prep(docs, min_quality=0.3, langs=("en", "no")).collect()
+    assert {r.doc_id for r in both} == {1, 3}
+
+
 def test_dedup_keep_first_materializer(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "y")],
