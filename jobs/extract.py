@@ -46,11 +46,18 @@ def main(argv=None):
                         "results land under <output>/<engine-name> so "
                         "configs coexist like the reference's per-config "
                         "output dirs")
+    p.add_argument("--incremental", metavar="CHECKPOINT",
+                   help="Structured-Streaming mode: process only pages "
+                        "files not yet seen by this checkpoint "
+                        "(availableNow trigger, exactly-once per file); "
+                        "requires --input, ignores --lineage/--engine")
     p.add_argument("--master", default=None)
     p.add_argument("--replicate", type=int, default=1)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
+    if args.incremental and not args.input:
+        p.error("--incremental requires --input (a pages directory)")
 
     from norsk_historisk_avis_ocr_spark.operators.extract import split_quarantine
     from norsk_historisk_avis_ocr_spark.operators.resume import run_with_resume
@@ -61,6 +68,16 @@ def main(argv=None):
     owns_session = SparkSession.getActiveSession() is None
     spark = build_session("nhao-extract", master=args.master)
     try:
+        if args.incremental:
+            from norsk_historisk_avis_ocr_spark.streaming import (
+                run_incremental,
+            )
+            run_incremental(spark, args.input, args.output, args.incremental,
+                            extract_kwargs={
+                                "normalize": not args.no_normalize})
+            print(f"incremental batch committed to {args.output} "
+                  f"(checkpoint {args.incremental})")
+            return
         if args.synthesize:
             pages = pages_df(spark, args.synthesize, replicate=args.replicate,
                              partitions=spark.sparkContext.defaultParallelism * 4)

@@ -128,7 +128,8 @@ def projected_schema(output_columns: list[str] | None) -> StructType:
 
 def extract_map_fn(normalize_table: tuple[dict, set] | None,
                    output_columns: list[str] | None = None,
-                   normalize_langs: set[str] | None = None):
+                   normalize_langs: set[str] | None = None,
+                   lang_tables: dict[str, tuple[dict, set]] | None = None):
     """Build the ``mapInPandas`` function. ``normalize_table`` is the
     broadcast-safe plain-dict form of the trie (rebuilt once per executor —
     the J3 broadcast-lookup pattern).
@@ -138,27 +139,39 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
     the full Arrow transfer and compute. Requesting a subset both trims the
     Arrow payload and skips work — e.g. without ``correction_changes`` the
     quadratic word diff never runs.
+
+    ``lang_tables`` selects a *different* orthography table per language
+    code (per-language tries, each built once per executor); rows whose
+    language has no table are not normalized (X5 coalesce). Overrides
+    ``normalize_table``/``normalize_langs``.
     """
     fields = [f.name for f in projected_schema(output_columns).fields]
     need_diff = "correction_changes" in fields
 
     def fn(batches):
         import pandas as pd
-        normalizer = (OrthographyNormalizer(normalize_table[0],
-                                            normalize_table[1])
-                      if normalize_table is not None else None)
+        if lang_tables is not None:
+            per_lang = {lg: OrthographyNormalizer(t[0], t[1])
+                        for lg, t in lang_tables.items()}
+            pick = per_lang.get
+        else:
+            normalizer = (OrthographyNormalizer(normalize_table[0],
+                                                normalize_table[1])
+                          if normalize_table is not None else None)
+            if normalize_langs is not None:
+                def pick(lg):
+                    return normalizer if lg in normalize_langs else None
+            else:
+                def pick(lg):
+                    return normalizer
+        by_lang = lang_tables is not None or normalize_langs is not None
         for pdf in batches:
-            if normalize_langs is not None and "lang" in pdf:
-                # per-language gating: the orthography table is Norwegian;
-                # other languages keep the reflowed text (X5 coalesce)
-                rows = [extract_one(
-                            u, h,
-                            normalizer if lg in normalize_langs else None,
-                            with_diff=need_diff)
+            if by_lang and "lang" in pdf:
+                rows = [extract_one(u, h, pick(lg), with_diff=need_diff)
                         for u, h, lg in zip(pdf["url"], pdf["html"],
                                             pdf["lang"])]
             else:
-                rows = [extract_one(u, h, normalizer, with_diff=need_diff)
+                rows = [extract_one(u, h, pick(None), with_diff=need_diff)
                         for u, h in zip(pdf["url"], pdf["html"])]
             if not rows:  # empty Arrow batch: emit an empty, typed frame
                 yield pd.DataFrame({f: [] for f in fields})

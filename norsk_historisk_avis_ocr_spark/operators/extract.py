@@ -96,7 +96,8 @@ def extract_pages(pages: DataFrame, normalize: bool = True,
                   decorrelate: bool = False,
                   num_partitions: int | None = None,
                   output_columns: list[str] | None = None,
-                  normalize_langs: set[str] | None = None) -> DataFrame:
+                  normalize_langs: set[str] | None = None,
+                  normalize_tables: dict | None = None) -> DataFrame:
     """Run the full extraction over a pages DataFrame → RESULT_SCHEMA rows.
 
     ``output_columns``: project inside the UDF (Catalyst cannot prune
@@ -106,20 +107,32 @@ def extract_pages(pages: DataFrame, normalize: bool = True,
     ``normalize_langs``: apply the orthography pass only to these language
     codes (the table is historical-Norwegian); other rows keep the
     reflowed text as ``final``. None = normalize everything.
+
+    ``normalize_tables``: per-language orthography — maps language code →
+    ``OrthographyNormalizer`` or its ``to_table()`` form; each row is
+    normalized with its language's trie, rows with no table are left
+    unnormalized. Overrides ``normalize``/``normalize_langs``.
     """
     from ..functions.udfs import projected_schema
-    if normalize_langs is not None and "lang" not in pages.columns:
+    from ..stages.normalize import OrthographyNormalizer
+    by_lang = normalize_langs is not None or normalize_tables is not None
+    if by_lang and "lang" not in pages.columns:
         raise ValueError(
-            "normalize_langs given but input has no 'lang' column; "
-            "refusing to silently normalize every row")
-    if normalize_langs is not None:
+            "normalize_langs/normalize_tables given but input has no "
+            "'lang' column; refusing to silently normalize every row")
+    if by_lang:
         df = pages.select("url", "html", "lang")
     else:
         df = pages.select("url", "html")
     if decorrelate:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, F.xxhash64("url"))
+    lang_tables = None
+    if normalize_tables is not None:
+        lang_tables = {
+            lg: (t.to_table() if isinstance(t, OrthographyNormalizer) else t)
+            for lg, t in normalize_tables.items()}
     table = default_normalizer().to_table() if normalize else None
     return df.mapInPandas(
-        extract_map_fn(table, output_columns, normalize_langs),
+        extract_map_fn(table, output_columns, normalize_langs, lang_tables),
         schema=projected_schema(output_columns))

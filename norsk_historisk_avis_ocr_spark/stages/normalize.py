@@ -209,6 +209,20 @@ DEFAULT_LEXICON: list[str] = [
     "gård", "hår", "mål", "måned", "påske", "småbruk", "våren",
     "byen", "landet", "folket", "kongen", "kirken", "skolen",
     "arbeidet", "styret", "møtet", "saken", "loven", "retten",
+    # round-2 widening: common newspaper-register nouns/verbs/function
+    # words whose confusion variants OCR plausibly produces
+    "melding", "formann", "medlem", "medlemmer", "forsamling",
+    "komiteen", "nemnda", "ordfører", "fylket", "herredet", "bygda",
+    "gammelt", "omkring", "imidlertid", "dermed", "omtrent", "mellomtiden",
+    "hvilket", "hvordan", "hvorfor", "hvert", "hvis", "behandling",
+    "handel", "husmor", "heller", "halvparten", "hundre", "havre",
+    "dyr", "dessverre", "departementet", "direktør", "domstol",
+    "først", "fjorden", "forslaget", "fløte", "søknad", "øvrige",
+    "økning", "høsten", "kjøtt", "mjølk", "løsning", "strøm",
+    "lærerinne", "værelse", "nevnte", "erklæring", "forretning",
+    "måndag", "årsmøte", "våre", "återstår", "påbud", "innhold",
+    "prisene", "varene", "skatten", "budsjettet", "veien", "jernbanen",
+    "dampskip", "telegram", "redaksjonen", "trykkeri", "annonse",
 ]
 
 # Default rewrite table: OCR confusion fixes mirroring the reference prompt's

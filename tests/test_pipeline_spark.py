@@ -179,6 +179,28 @@ def test_normalize_langs_gating(spark):
     assert rows["u-sv"].final == rows["u-sv"].transcribed
 
 
+def test_normalize_tables_per_language(spark):
+    """Each row is normalized with ITS language's trie: the same OCR error
+    maps to different corrections per language table."""
+    from norsk_historisk_avis_ocr_spark.stages.normalize import (
+        OrthographyNormalizer,
+    )
+    html = ("<html><body><table><tr><td>rnann clet</td></tr>"
+            "</table></body></html>").encode()
+    no_table = OrthographyNormalizer({"rnann": "mann", "clet": "det"})
+    sv_table = OrthographyNormalizer({"rnann": "man"})
+    df = spark.createDataFrame(
+        [("u-no", bytearray(html), "no"), ("u-sv", bytearray(html), "sv"),
+         ("u-en", bytearray(html), "en")],
+        "url string, html binary, lang string")
+    rows = {r.url: r for r in extract_pages(
+        df, normalize_tables={"no": no_table, "sv": sv_table}).collect()}
+    assert rows["u-no"].normalized.startswith("mann det")
+    assert rows["u-sv"].normalized.startswith("man clet")
+    assert rows["u-en"].normalized is None          # no table → X5 coalesce
+    assert rows["u-en"].final == rows["u-en"].transcribed
+
+
 def test_normalize_langs_requires_lang_column(spark):
     import pytest as _pytest
     df = spark.createDataFrame(
