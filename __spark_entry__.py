@@ -356,14 +356,11 @@ def oracle_sql() -> dict[str, str]:
     sw_en = ",".join(f"'{x}'" for x in
                      ["the", "and", "of", "to", "in", "is", "that", "for",
                       "with"])
-    markers = ",".join(
-        f"('{lang}','{word}')"
-        for lang, ws in {
-            "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
-            "no": ["og", "det", "som", "på", "av", "ikke", "hvad", "å", "jeg"],
-            "da": ["og", "det", "som", "af", "ikke", "hvad", "jeg", "en", "til"],
-            "sv": ["och", "det", "som", "av", "inte", "jag", "en", "till", "på"],
-        }.items() for word in ws)
+    # single source of truth: the oracle's marker table IS the classifier's
+    # STOPWORDS dict, so the two engines cannot drift
+    from norsk_historisk_avis_ocr_spark.functions.textqual import STOPWORDS
+    markers = ",".join(f"('{lang}','{word}')"
+                       for lang, ws in STOPWORDS.items() for word in ws)
 
     mh_prime = 2305843009213693951
     mh_terms = ",".join(

@@ -19,12 +19,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
-# language classifier. Chosen to be disjoint across languages.
+# language classifier (whitespace-tokenized languages only — CJK needs a
+# different tokenizer and is classified 'und' here). The oracle SQL builds
+# its marker table from this same dict (__spark_entry__.py), so the two
+# engines cannot drift.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
     "no": ["og", "det", "som", "på", "av", "ikke", "hvad", "å", "jeg"],
     "da": ["og", "det", "som", "af", "ikke", "hvad", "jeg", "en", "til"],
     "sv": ["och", "det", "som", "av", "inte", "jag", "en", "till", "på"],
+    "de": ["und", "der", "die", "das", "nicht", "ist", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "una", "pero", "por", "para", "con", "más"],
 }
 
 

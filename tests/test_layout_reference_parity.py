@@ -108,6 +108,19 @@ def test_split_columns_geometry_matches_reference(page):
                                 else None)
 
 
+def test_full_contract_size_page_parity():
+    """One page at the contract generator's native 1460×1100 (the parity
+    fixture pages are smaller for the reference's pure-Python loops) —
+    guards against any size-dependent divergence (band count, scan limit,
+    fallback width threshold)."""
+    img = synth_page_array("page-9")  # contract page that triggers L2
+    geo = split_columns_geometry(img)
+    ref_title, ref_cols = ref._split_columns(_Image(img))
+    assert [tuple(b) for b in geo["column_boxes"]] == [c.box for c in ref_cols]
+    assert geo["title_box"] == (ref_title.box if ref_title is not None
+                                else None)
+
+
 # --- hand-built adversarial rasters for the named hazards ----------------
 
 def _blank(h, w):

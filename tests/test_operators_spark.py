@@ -167,6 +167,16 @@ def test_language_id(spark):
     assert got[3] == "und"
 
 
+def test_language_id_de_fr_es(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist nicht mit ein zu das haus"),
+         (2, "le chat est dans la maison pour les autres que des amis"),
+         (3, "el perro está con los gatos pero por una casa para más")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in q.language_id(df).collect()}
+    assert got == {1: "de", 2: "fr", 3: "es"}
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "ab 12 c-d"), (2, "   ")],
                                "doc_id long, text string")
