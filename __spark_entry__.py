@@ -281,6 +281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: dd.connected_components_star(
                 dd.minhash_lsh_pairs(_t(s, sf, "documents"),
                                      est_threshold=0.125)),
+        "dedup_prune_components":
+            lambda s, sf: dd.dedup_by_components(
+                _t(s, sf, "documents").select("doc_id"),
+                dd.minhash_lsh_pairs(_t(s, sf, "documents"),
+                                     est_threshold=0.125)).select("doc_id"),
         "simhash_values":
             lambda s, sf: dd.simhash_values(_t(s, sf, "documents")),
         "dedup_simhash":
@@ -672,6 +677,18 @@ WHERE ({eq_terms}) / 16.0 >= 0.125
         # same transitive-closure oracle: the large-star/small-star variant
         # must produce the identical (doc_id, component_id) labeling
         "dedup_components_star": components_oracle,
+        # materializer: corpus minus non-representative cluster members —
+        # derived from the same closure (docs absent from any component or
+        # equal to their component min survive)
+        "dedup_prune_components": components_oracle.replace(
+            """SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+FROM reach GROUP BY src""",
+            """, comps AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.component_id = c.doc_id"""),
         "simhash_values": f"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
