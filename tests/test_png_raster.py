@@ -68,6 +68,22 @@ def test_png_decode_all_filter_types(shape, ctype, ch):
     assert np.array_equal(decode_png(png), img)
 
 
+def test_png_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.booleans(),
+           st.integers(0, 2**32 - 1))
+    def roundtrip(h, w, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    roundtrip()
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
