@@ -133,6 +133,7 @@ def connected_components_star(pairs: DataFrame,
     e = base.select(F.least("u", "v").alias("u"),
                     F.greatest("u", "v").alias("v")).distinct() \
         .localCheckpoint(eager=False)
+    n_e = e.count()
 
     for _ in range(max_iter):
         nbr = e.unionAll(
@@ -155,9 +156,12 @@ def connected_components_star(pairs: DataFrame,
             .select(F.least("u", "v").alias("u"),
                     F.greatest("u", "v").alias("v")).distinct() \
             .localCheckpoint(eager=False)
-        stable = (new_e.exceptAll(e).limit(1).count() == 0
-                  and e.exceptAll(new_e).limit(1).count() == 0)
-        e = new_e
+        # both sides are distinct sets: equal cardinality + no new edges
+        # outside the old set ⟹ equal (one exceptAll, not two)
+        n_new = new_e.count()
+        stable = (n_new == n_e
+                  and new_e.exceptAll(e).limit(1).count() == 0)
+        e, n_e = new_e, n_new
         if stable:
             break
 

@@ -21,6 +21,7 @@ that would back a stateful variant lives as batch window operators in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # the Common-Crawl-style pages schema (BASELINE input_hint)
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
@@ -53,6 +54,46 @@ def run_incremental(spark: SparkSession, in_path: str, out_path: str,
     good, _bad = split_quarantine(pages)
     results = extract_pages(good, **(extract_kwargs or {}))
     q = results.writeStream.format("parquet") \
+        .option("path", out_path) \
+        .option("checkpointLocation", checkpoint_path) \
+        .trigger(availableNow=True) \
+        .start()
+    q.awaitTermination()
+
+
+EVENTS_DDL = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def windowed_event_counts(spark: SparkSession, in_path: str,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming event-time windowed aggregation with a late-data
+    watermark: per (window, event_type) counts + exact integer value sums.
+    The watermark bounds state (windows older than max(ts) − watermark are
+    finalized and evicted — at 10^12 events/day that bound is what keeps
+    the state store finite); events later than it are dropped by contract.
+    """
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(in_path) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev.withWatermark("ts", watermark) \
+        .groupBy(F.window("ts", window).alias("w"), "event_type") \
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 1000).cast("long"))
+              .alias("value_milli")) \
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "value_milli")
+
+
+def run_windowed_counts(spark: SparkSession, in_path: str, out_path: str,
+                        checkpoint_path: str, window: str = "1 hour",
+                        watermark: str = "2 hours") -> None:
+    """Materialize the windowed counts for the currently-available backlog
+    (availableNow; append mode emits only watermark-finalized windows)."""
+    agg = windowed_event_counts(spark, in_path, window, watermark)
+    q = agg.writeStream.format("parquet") \
+        .outputMode("append") \
         .option("path", out_path) \
         .option("checkpointLocation", checkpoint_path) \
         .trigger(availableNow=True) \

@@ -10,6 +10,56 @@ from norsk_historisk_avis_ocr_spark.sources import pages_df
 from norsk_historisk_avis_ocr_spark.streaming import run_incremental
 
 
+def test_windowed_counts_watermark_finalization(spark, sf_dir, tmp_path):
+    """Event-time windowed counts with a late-data watermark: after a
+    second micro-batch advances the watermark, exactly the finalized
+    windows (window_end ≤ max(ts of batch 1) − delay) are emitted, with
+    values identical to the batch aggregation."""
+    import os as _os
+
+    from norsk_historisk_avis_ocr_spark.streaming import run_windowed_counts
+
+    in_path = str(tmp_path / "events_in")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    events = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
+        .withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
+    cut = events.selectExpr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY ts_s)").first()[0]
+    first = events.filter(F.col("ts_s") <= cut).drop("ts_s")
+    second = events.filter(F.col("ts_s") > cut).drop("ts_s")
+    assert first.count() and second.count()
+
+    first.write.mode("append").parquet(in_path)
+    run_windowed_counts(spark, in_path, out, ckpt,
+                        window="1 hour", watermark="2 hours")
+    second.write.mode("append").parquet(in_path)
+    run_windowed_counts(spark, in_path, out, ckpt,
+                        window="1 hour", watermark="2 hours")
+
+    got = {(r.window_start, r.window_end, r.event_type):
+           (r.n_events, r.value_milli)
+           for r in spark.read.parquet(out).collect()}
+    assert got, "watermark never finalized any window"
+
+    # batch truth, restricted to finalized windows: availableNow runs a
+    # final no-data micro-batch, so emission uses the fully-advanced
+    # watermark max(all ts) − delay (no batch-2 event is late — batch 2 is
+    # entirely newer than the batch-1 watermark)
+    wm = events.select(
+        (F.max(F.col("ts").cast("timestamp"))
+         - F.expr("INTERVAL 2 HOURS")).alias("wm")).first()[0]
+    batch = events.groupBy(F.window(F.col("ts").cast("timestamp"),
+                                    "1 hour").alias("w"), "event_type") \
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 1000).cast("long")).alias("vm")) \
+        .filter(F.col("w.end") <= F.lit(wm))
+    expect = {(r["w"].start, r["w"].end, r.event_type): (r.n, r.vm)
+              for r in batch.collect()}
+    assert got == expect
+
+
 def test_incremental_matches_batch_and_resumes(spark, sf_dir, tmp_path):
     in_path = str(tmp_path / "incoming")
     out = str(tmp_path / "stream_results")
