@@ -86,6 +86,54 @@ def windowed_event_counts(spark: SparkSession, in_path: str,
                 "event_type", "n_events", "value_milli")
 
 
+def stateful_user_totals(spark: SparkSession, in_path: str, out_path: str,
+                         checkpoint_path: str) -> None:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event total maintained in the state store across
+    micro-batches AND across restarts (the checkpoint carries the state).
+    Each batch emits the updated totals for the users it touched, appended
+    with the micro-batch id via ``foreachBatch`` (update-mode output; the
+    row with the highest batch id per user is the current total).
+
+    This is the pattern a custom incremental aggregator (per-host crawl
+    counters, per-source quality accumulators) uses when built-in windowed
+    aggregation can't express the state transition.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = spark.readStream.schema(EVENTS_DDL).parquet(in_path)
+
+    def update(key, pdfs, state):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = state.get[0] if state.exists else 0
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_events_total": [total]})
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events_total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out_path)
+
+    q = updates.writeStream.foreachBatch(sink) \
+        .outputMode("update") \
+        .option("checkpointLocation", checkpoint_path) \
+        .trigger(availableNow=True) \
+        .start()
+    q.awaitTermination()
+
+
 def run_windowed_counts(spark: SparkSession, in_path: str, out_path: str,
                         checkpoint_path: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> None:

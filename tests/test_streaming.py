@@ -60,6 +60,41 @@ def test_windowed_counts_watermark_finalization(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_stateful_user_totals_across_runs(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: the per-user running total survives the
+    checkpointed restart — after two separate availableNow runs over two
+    file batches, the latest emitted total per user equals the batch
+    count over ALL events."""
+    import os as _os
+
+    from norsk_historisk_avis_ocr_spark.streaming import stateful_user_totals
+
+    in_path = str(tmp_path / "st_in")
+    out = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+
+    events = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 != 0)
+
+    first.write.mode("append").parquet(in_path)
+    stateful_user_totals(spark, in_path, out, ckpt)
+    second.write.mode("append").parquet(in_path)
+    stateful_user_totals(spark, in_path, out, ckpt)
+
+    emitted = spark.read.parquet(out)
+    from pyspark.sql import Window
+    latest = emitted.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("batch_id").desc()))
+    ).filter("rn = 1")
+    got = {r.user_id: r.n_events_total for r in latest.collect()}
+    expect = {r.user_id: r.n for r in
+              events.groupBy("user_id").agg(F.count("*").alias("n"))
+              .collect()}
+    assert got == expect
+
+
 def test_incremental_matches_batch_and_resumes(spark, sf_dir, tmp_path):
     in_path = str(tmp_path / "incoming")
     out = str(tmp_path / "stream_results")
