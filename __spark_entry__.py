@@ -28,6 +28,7 @@ if _REPO not in sys.path:
 
 from norsk_historisk_avis_ocr_spark.operators import extract_pages  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import dedup as dd  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import kmeans as km  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import multimodal as mm  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import quality as q  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import similarity as sim  # noqa: E402
@@ -304,6 +305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
         "emb_lsh_topk":
             lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5),
+        # learned-cell IVF (deterministic Lloyd k-means): iterative — not
+        # SQL-expressible, so rows-only; determinism + cluster quality are
+        # pinned in tests/test_kmeans.py, and the shuffle-free assignment
+        # plan in tests/test_plans.py
+        "emb_ivf_learned_topk":
+            lambda s, sf: km.ivf_cells_topk(_t(s, sf, "embeddings"), 0,
+                                            k_cells=4, top_k=5, iters=3),
         "emb_dup_pairs":
             lambda s, sf: sim.embedding_dup_pairs(_t(s, sf, "embeddings"),
                                                   threshold=0.4),
