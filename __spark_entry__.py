@@ -192,14 +192,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         pages = raster_pages_df(spark, sf, limit=80, partitions=8)
         geo = segment_png_pages(pages)
+        def _n(col):  # size(NULL) is -1 by default — keep NULLs NULL
+            return F.when(F.col(col).isNull(), F.lit(None)) \
+                .otherwise(F.size(col)).cast("long")
+
         return geo.select(
             "page_id",
-            (F.size("boundaries") - 1).cast("long").alias("n_cols"),
+            (_n("boundaries") - 1).alias("n_cols"),
             F.to_json("boundaries").alias("boundaries_json"),
             F.to_json("body_top").alias("body_top_json"),
             F.col("title_box.x0").cast("long").alias("title_x0"),
             F.col("title_box.y1").cast("long").alias("title_y1"),
-            F.size("column_boxes").cast("long").alias("n_boxes"),
+            _n("column_boxes").alias("n_boxes"),
             "decode_error")
 
     return {

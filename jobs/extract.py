@@ -50,7 +50,8 @@ def main(argv=None):
                    help="Structured-Streaming mode: process only pages "
                         "files not yet seen by this checkpoint "
                         "(availableNow trigger, exactly-once per file); "
-                        "requires --input, ignores --lineage/--engine")
+                        "requires --input, honors --quarantine, ignores "
+                        "--lineage/--engine")
     p.add_argument("--master", default=None)
     p.add_argument("--replicate", type=int, default=1)
     args = p.parse_args(argv)
@@ -74,7 +75,8 @@ def main(argv=None):
             )
             run_incremental(spark, args.input, args.output, args.incremental,
                             extract_kwargs={
-                                "normalize": not args.no_normalize})
+                                "normalize": not args.no_normalize},
+                            quarantine_path=args.quarantine)
             print(f"incremental batch committed to {args.output} "
                   f"(checkpoint {args.incremental})")
             return

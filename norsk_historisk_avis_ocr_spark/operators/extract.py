@@ -132,7 +132,10 @@ def extract_pages(pages: DataFrame, normalize: bool = True,
         lang_tables = {
             lg: (t.to_table() if isinstance(t, OrthographyNormalizer) else t)
             for lg, t in normalize_tables.items()}
-    table = default_normalizer().to_table() if normalize else None
+    # don't build (and ship in every task closure) the default trie when
+    # per-language tables override it anyway
+    table = (default_normalizer().to_table()
+             if normalize and normalize_tables is None else None)
     return df.mapInPandas(
         extract_map_fn(table, output_columns, normalize_langs, lang_tables),
         schema=projected_schema(output_columns))

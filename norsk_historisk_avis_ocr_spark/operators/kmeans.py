@@ -37,7 +37,10 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
 
     seeds = points.orderBy("vec_id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
-        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
+        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds if r.v]
+    if not cents:  # empty (or all-null) input → empty assignment
+        return points.select(
+            "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
     dim = len(cents[0][1])
 
     def assign(cent_list):

@@ -15,6 +15,8 @@ function.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,7 +83,10 @@ def decode_media(data: bytes) -> dict:
                 "n_frames": 1,
                 "features": [float(v / norm) for v in hist],
             }
-        except ValueError:
+        except (ValueError, struct.error, zlib.error):
+            # corrupt/truncated PNG (bad IDAT → zlib.error, short IHDR →
+            # struct.error, unsupported/length mismatch → ValueError):
+            # degrade to the stub rather than failing the task
             pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8

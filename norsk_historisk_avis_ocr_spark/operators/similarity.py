@@ -86,7 +86,10 @@ def hyperplane_signature(emb: DataFrame, n_planes: int = 8,
     ``first()`` probe for ``dim`` when not given — O(1) regardless of table
     size), so each row costs n_planes fused multiply-adds, no hashing."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        # empty / all-null input: any dim works — every row's projection is
+        # NULL → sig 0, same as the old per-row formulation
+        dim = len(row[0]) if row is not None else 1
     signs = plane_sign_rows(n_planes, dim)
     a = F.col(vec_col).cast("array<double>")
     sig = F.lit(0).cast("bigint")

@@ -23,17 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# the Common-Crawl-style pages schema (BASELINE input_hint)
-PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
-             "text string, lang string")
-
-
 def read_pages_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming scan of a pages directory (parquet file source). File
-    sources require an explicit schema; ``maxFilesPerTrigger`` bounds
-    per-micro-batch work on a large backlog."""
-    reader = spark.readStream.schema(PAGES_DDL)
+    sources require an explicit schema — reuses the batch generator's
+    ``PAGES_SCHEMA`` (single source of truth: a column added there reaches
+    the incremental path too); ``maxFilesPerTrigger`` bounds per-micro-batch
+    work on a large backlog."""
+    from ..sources.pages import PAGES_SCHEMA
+    reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
@@ -41,24 +39,35 @@ def read_pages_stream(spark: SparkSession, path: str,
 
 def run_incremental(spark: SparkSession, in_path: str, out_path: str,
                     checkpoint_path: str,
-                    extract_kwargs: dict | None = None) -> None:
+                    extract_kwargs: dict | None = None,
+                    quarantine_path: str | None = None) -> None:
     """Process all pages files not yet seen by this checkpoint, then stop
     (``availableNow`` trigger — the batch-of-the-backlog mode). Re-running
     after new files land processes only the new files; re-running after a
     kill resumes from the checkpoint without duplicating committed output
     (file-source progress + file-sink manifest are both in the
-    checkpoint)."""
+    checkpoint). With ``quarantine_path``, rejected rows (null/oversized
+    html) are committed to their own errors table through a sibling
+    checkpointed query (S5 semantics, matching the batch path)."""
     from ..operators.extract import extract_pages, split_quarantine
 
     pages = read_pages_stream(spark, in_path)
-    good, _bad = split_quarantine(pages)
+    good, bad = split_quarantine(pages)
     results = extract_pages(good, **(extract_kwargs or {}))
-    q = results.writeStream.format("parquet") \
-        .option("path", out_path) \
-        .option("checkpointLocation", checkpoint_path) \
-        .trigger(availableNow=True) \
-        .start()
-    q.awaitTermination()
+    queries = [results.writeStream.format("parquet")
+               .option("path", out_path)
+               .option("checkpointLocation", checkpoint_path)
+               .trigger(availableNow=True)
+               .start()]
+    if quarantine_path is not None:
+        queries.append(bad.writeStream.format("parquet")
+                       .option("path", quarantine_path)
+                       .option("checkpointLocation",
+                               checkpoint_path + "_quarantine")
+                       .trigger(availableNow=True)
+                       .start())
+    for q in queries:
+        q.awaitTermination()
 
 
 EVENTS_DDL = ("event_id long, ts timestamp_ntz, user_id long, "

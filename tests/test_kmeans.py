@@ -28,6 +28,11 @@ def test_kmeans_deterministic(spark):
     assert a == b
 
 
+def test_kmeans_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_assign(df, k=2, iters=2).count() == 0
+
+
 def test_ivf_cells_topk_stays_in_cluster(spark):
     df = _clustered(spark)
     got = ivf_cells_topk(df, query_vec_id=0, k_cells=2, top_k=9).collect()

@@ -215,6 +215,18 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
     assert (0, 100) in lsh       # identical vectors always share the bucket
 
 
+def test_hyperplane_signature_empty_and_null_inputs(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<float>")
+    assert sim.hyperplane_signature(empty).count() == 0
+    assert sim.lsh_bucket_topk(empty, 0).count() == 0
+    nulls = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r.lsh_sig
+            for r in sim.hyperplane_signature(nulls).collect()}
+    assert rows[0] == 0 and rows[1] >= 0  # null embedding → sig 0
+
+
 def test_embedding_dup_pairs_multi_probe_recall(spark):
     import random
     rnd = random.Random(7)

@@ -103,6 +103,20 @@ def test_grayscale_matches_pil_luma_formula():
     assert to_grayscale(gray) is gray
 
 
+def test_decode_media_corrupt_png_degrades_to_stub():
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media,
+    )
+    good = encode_png(np.zeros((8, 8), dtype=np.uint8))
+    # corrupt the IDAT payload (zlib.error) and truncate the IHDR
+    # (struct.error): both must fall through to the stub, not raise
+    corrupt_idat = good[:40] + b"\x00" * 20 + good[60:]
+    truncated = good[:20]
+    for bad in (corrupt_idat, truncated):
+        meta = decode_media(bad)
+        assert len(meta["features"]) == 16 and meta["width"] >= 256
+
+
 def test_decode_media_real_png_dimensions_and_histogram():
     from norsk_historisk_avis_ocr_spark.operators.multimodal import (
         decode_media,
