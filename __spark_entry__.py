@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
         "emb_lsh_topk":
             lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5),
+        "emb_lsh_topk_probed":
+            lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0,
+                                              k=5, multi_probe=True),
         # learned-cell IVF (deterministic Lloyd k-means): iterative — not
         # SQL-expressible, so rows-only; determinism + cluster quality are
         # pinned in tests/test_kmeans.py, and the shuffle-free assignment
@@ -763,6 +766,26 @@ SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
     ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
 )
 SELECT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+""",
+        # multi-probe top-k: candidates from the query's bucket plus every
+        # one-bit-flipped bucket
+        "emb_lsh_topk_probed": lsh_sig_cte + f"""
+, q AS (
+  SELECT unnest([lsh_sig,
+                 {', '.join(f'xor(lsh_sig, {1 << p})' for p in range(8))}])
+             AS qsig,
+         e AS qv
+  FROM sig WHERE vec_id = 0
+),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qv) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM sig JOIN q ON sig.lsh_sig = q.qsig
+  WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """,
         # multi-probe: one join side also probes every one-bit-flipped
         # signature → recall of hamming<=1 signature pairs

@@ -103,11 +103,24 @@ def hyperplane_signature(emb: DataFrame, n_planes: int = 8,
 
 
 def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
-                    n_planes: int = 8) -> DataFrame:
-    """ANN via hyperplane-LSH bucket + exact re-rank inside the bucket."""
+                    n_planes: int = 8,
+                    multi_probe: bool = False) -> DataFrame:
+    """ANN via hyperplane-LSH bucket + exact re-rank inside the bucket.
+
+    ``multi_probe=True`` probes the query's signature plus every one-bit
+    flip of it (candidates within hamming ≤ 1 of the query's bucket) —
+    the standard recall lever that costs n_planes+1 tiny broadcast keys
+    instead of another plane family."""
     signed = hyperplane_signature(emb, n_planes)
     q = signed.filter(F.col("vec_id") == query_vec_id) \
         .select(F.col("lsh_sig").alias("qsig"))
+    if multi_probe:
+        probes = F.array(F.col("qsig"),
+                         *[F.col("qsig").bitwiseXOR(F.lit(1 << p))
+                           for p in range(n_planes)])
+        q = q.select(F.explode(probes).alias("qsig"))
+    # the probe values are pairwise distinct, so each row joins at most one
+    # probe — no dedup needed
     bucket = signed.join(F.broadcast(q), F.col("lsh_sig") == F.col("qsig"))
     return cosine_scores(bucket, query_vec_id) \
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()) \
