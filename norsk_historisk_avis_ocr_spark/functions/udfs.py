@@ -166,7 +166,14 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
                     return normalizer
         by_lang = lang_tables is not None or normalize_langs is not None
         for pdf in batches:
-            if by_lang and "lang" in pdf:
+            if by_lang and "lang" not in pdf:
+                # loud, not silent: per-language gating was requested but
+                # the batch carries no language (mirrors extract_pages's
+                # driver-side ValueError for direct extract_map_fn callers)
+                raise ValueError(
+                    "normalize_langs/lang_tables given but batch has no "
+                    "'lang' column")
+            if by_lang:
                 rows = [extract_one(u, h, pick(lg), with_diff=need_diff)
                         for u, h, lg in zip(pdf["url"], pdf["html"],
                                             pdf["lang"])]

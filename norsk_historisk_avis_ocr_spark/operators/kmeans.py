@@ -31,14 +31,18 @@ def _sq_dist(a, b):
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
                   vec_col: str = "embedding") -> DataFrame:
     """(vec_id, cell) assignment after ``iters`` Lloyd rounds."""
-    points = emb.select(
+    # null embeddings carry no geometry: exclude them up front (they would
+    # otherwise shrink the seed set below k and be mis-assigned through
+    # NULL-distance struct comparison); they simply have no (vec_id, cell)
+    # row in the output
+    points = emb.filter(F.col(vec_col).isNotNull()).select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     points = points.localCheckpoint(eager=False)
 
     seeds = points.orderBy("vec_id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
-        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds if r.v]
-    if not cents:  # empty (or all-null) input → empty assignment
+        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
+    if not cents:  # empty input → empty assignment
         return points.select(
             "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
     dim = len(cents[0][1])

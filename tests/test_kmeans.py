@@ -33,6 +33,17 @@ def test_kmeans_empty_input(spark):
     assert kmeans_assign(df, k=2, iters=2).count() == 0
 
 
+def test_kmeans_null_embedding_does_not_eat_a_seed(spark):
+    # vec 0 is NULL and among the k smallest ids: it must not shrink the
+    # seed set (two clusters must still separate) nor receive a cell
+    rows = [(0, None), (1, [0.0, 0.0]), (2, [0.1, 0.0]),
+            (3, [10.0, 10.0]), (4, [10.1, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cell for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert 0 not in got
+    assert got[1] == got[2] and got[3] == got[4] and got[1] != got[3]
+
+
 def test_ivf_cells_topk_stays_in_cluster(spark):
     df = _clustered(spark)
     got = ivf_cells_topk(df, query_vec_id=0, k_cells=2, top_k=9).collect()

@@ -167,6 +167,26 @@ def test_language_id(spark):
     assert got[3] == "und"
 
 
+def test_stopwords_golden_content():
+    """The DuckDB oracle derives its marker table FROM STOPWORDS (single
+    source of truth), so oracle parity can no longer catch accidental
+    edits to the dict itself — this golden copy can. Update deliberately,
+    never to silence a failure."""
+    from norsk_historisk_avis_ocr_spark.functions.textqual import STOPWORDS
+    assert STOPWORDS == {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+        "no": ["og", "det", "som", "på", "av", "ikke", "hvad", "å", "jeg"],
+        "da": ["og", "det", "som", "af", "ikke", "hvad", "jeg", "en", "til"],
+        "sv": ["och", "det", "som", "av", "inte", "jag", "en", "till", "på"],
+        "de": ["und", "der", "die", "das", "nicht", "ist", "mit", "ein",
+               "zu"],
+        "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour",
+               "que"],
+        "es": ["el", "los", "las", "una", "pero", "por", "para", "con",
+               "más"],
+    }
+
+
 def test_language_id_de_fr_es(spark):
     df = spark.createDataFrame(
         [(1, "der hund und die katze ist nicht mit ein zu das haus"),

@@ -10,6 +10,36 @@ from norsk_historisk_avis_ocr_spark.sources import pages_df
 from norsk_historisk_avis_ocr_spark.streaming import run_incremental
 
 
+def test_incremental_quarantine_sink(spark, sf_dir, tmp_path):
+    """The incremental quarantine branch: rejected rows land in their own
+    checkpointed errors table (S5 parity with the batch path) and are
+    not re-emitted on a later run."""
+    import datetime
+
+    from norsk_historisk_avis_ocr_spark.streaming import run_incremental
+
+    in_path = str(tmp_path / "q_in")
+    out = str(tmp_path / "q_out")
+    ckpt = str(tmp_path / "q_ckpt")
+    qpath = str(tmp_path / "q_bad")
+
+    good = pages_df(spark, sf_dir).limit(8)
+    bad = spark.createDataFrame(
+        [("bad-url", datetime.datetime(2024, 1, 1), None, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    good.write.mode("append").parquet(in_path)
+    bad.write.mode("append").parquet(in_path)
+
+    run_incremental(spark, in_path, out, ckpt, quarantine_path=qpath)
+    run_incremental(spark, in_path, out, ckpt, quarantine_path=qpath)
+
+    assert spark.read.parquet(out).count() == 8
+    q = spark.read.parquet(qpath).collect()
+    assert [(r.url, r.quarantine_reason) for r in q] == \
+        [("bad-url", "null_html")]
+
+
 def test_windowed_counts_watermark_finalization(spark, sf_dir, tmp_path):
     """Event-time windowed counts with a late-data watermark: after a
     second micro-batch advances the watermark, exactly the finalized
