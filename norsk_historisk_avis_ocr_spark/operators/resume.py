@@ -39,6 +39,46 @@ def partition_lineage(results: DataFrame) -> DataFrame:
     )
 
 
+def run_with_resume_bucketed(spark: SparkSession, pages_table: str,
+                             results_table: str, n_buckets: int = 64,
+                             extract_kwargs: dict | None = None) -> int:
+    """Resume over *bucketed catalog tables*: with both the pages snapshot
+    and the committed results bucketed by ``url`` on the same bucket count,
+    the per-batch anti-join reads matching buckets side by side — NO
+    shuffle of the 10^12-row pages table per resume (the dominant
+    non-map-stage cost of the path-based variant at scale; asserted
+    shuffle-free in tests/test_plans.py).
+
+    The bucketed append itself needs no shuffle either (each task streams
+    rows into per-bucket files); the cost is file count — tasks × buckets
+    per batch — which compaction or a pre-``repartition(n_buckets, url)``
+    handles when batches are small.
+
+    Returns the number of newly committed rows.
+    """
+    from pyspark import StorageLevel
+
+    from .extract import extract_pages, split_quarantine
+
+    pages = spark.table(pages_table)
+    if spark.catalog.tableExists(results_table):
+        done = spark.table(results_table).select("url")
+    else:
+        done = spark.createDataFrame([], "url string")
+    todo = resume_filter(pages, done)
+    good, _bad = split_quarantine(todo)
+    results = extract_pages(good, **(extract_kwargs or {}))
+    results = results.persist(StorageLevel.DISK_ONLY)
+    try:
+        n = results.count()
+        results.write.mode("append") \
+            .bucketBy(n_buckets, "url").sortBy("url") \
+            .format("parquet").saveAsTable(results_table)
+    finally:
+        results.unpersist()
+    return n
+
+
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
                     lineage_path: str | None = None,
                     extract_kwargs: dict | None = None) -> int:

@@ -179,6 +179,36 @@ def test_normalize_langs_gating(spark):
     assert rows["u-sv"].final == rows["u-sv"].transcribed
 
 
+def test_resume_bucketed_tables_shuffle_free(spark, sf_dir):
+    """Bucketed-catalog resume: idempotent across runs AND the anti-join
+    over the two bucketed tables plans without an Exchange."""
+    from norsk_historisk_avis_ocr_spark.operators.resume import (
+        resume_filter, run_with_resume_bucketed,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.sinks import write_bucketed
+    spark.sql("DROP TABLE IF EXISTS pages_rb")
+    spark.sql("DROP TABLE IF EXISTS results_rb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(pages_df(spark, sf_dir).limit(30), "pages_rb",
+                       "url", 8)
+        assert run_with_resume_bucketed(spark, "pages_rb", "results_rb",
+                                        n_buckets=8) == 30
+        assert run_with_resume_bucketed(spark, "pages_rb", "results_rb",
+                                        n_buckets=8) == 0
+        assert spark.table("results_rb").select("url").distinct() \
+            .count() == 30
+        plan = resume_filter(
+            spark.table("pages_rb"),
+            spark.table("results_rb")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS pages_rb")
+        spark.sql("DROP TABLE IF EXISTS results_rb")
+
+
 def test_normalize_tables_per_language(spark):
     """Each row is normalized with ITS language's trie: the same OCR error
     maps to different corrections per language table."""
