@@ -206,11 +206,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _n("column_boxes").alias("n_boxes"),
             "decode_error")
 
+    def extract_verified(spark, sf):
+        """Self-verifying contract row for the non-SQL extraction pipeline:
+        run the REAL ``extract_pages`` operator, join its output against the
+        planted sidecar ground truth, and — inside the UDF — execute the
+        *reference's own* text functions (``refexec.golden_text``) to derive
+        the expected bytes per url. Emits one ``(n_checked, n_mismatch)``
+        row whose oracle is constant SQL, so any byte drift in the pipeline
+        becomes a value-hash FAIL at the driver gate (VERDICT r2 item 1)."""
+        _ensure_worker_path(spark)
+        pages = pages_df(spark, sf, with_sidecar=True)
+        res = extract_pages(pages).select("url", "combined", "transcribed")
+        truth = pages.select("url", "planted_header", "planted_columns")
+        joined = res.join(truth, "url")
+
+        def vfn(batches):
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.refexec import golden_text
+            n = bad = 0
+            for pdf in batches:
+                for combined, transcribed, header, cols in zip(
+                        pdf["combined"], pdf["transcribed"],
+                        pdf["planted_header"], pdf["planted_columns"]):
+                    want_c, want_t = golden_text(header, cols)
+                    n += 1
+                    if combined != want_c or transcribed != want_t:
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+                n = bad = 0
+
+        flags = joined.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
+    def raster_verified(spark, sf):
+        """Self-verifying contract row for the raster L1-L4 pipeline: run
+        the REAL ``segment_png_pages`` path (PNG decode → grayscale →
+        geometry), then — inside the UDF — re-synthesize each page
+        (deterministic generator) and execute the *reference's*
+        ``_split_columns`` (``refexec.golden_geometry``) to compare title
+        and column crop boxes exactly. One ``(n_checked, n_mismatch)`` row,
+        constant oracle: geometry drift becomes a driver-gate FAIL."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_png_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            raster_pages_df,
+        )
+        pages = raster_pages_df(spark, sf, limit=40, partitions=8)
+        geo = segment_png_pages(pages)
+
+        def vfn(batches):
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.refexec import golden_geometry
+            from norsk_historisk_avis_ocr_spark.sources.rasters import (
+                synth_page_array,
+            )
+
+            def as_tuple(box):
+                if box is None:
+                    return None
+                return (box["x0"], box["y0"], box["x1"], box["y1"])
+
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    n += 1
+                    if row.decode_error is not None:
+                        bad += 1
+                        continue
+                    want_title, want_cols = golden_geometry(
+                        synth_page_array(row.page_id))
+                    got_cols = [as_tuple(b) for b in row.column_boxes]
+                    if (as_tuple(row.title_box) != want_title
+                            or got_cols != want_cols):
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = geo.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
         "extract_pipeline": extract_pipeline,
         "multimodal_features": multimodal_features,
         "raster_layout": raster_layout,
+        # -- self-verifying rows: Spark output vs EXECUTED reference -------
+        "extract_verified": extract_verified,
+        "raster_verified": raster_verified,
         # -- window-shaped W1-W4 + friends ---------------------------------
         "w1_runlength_islands":
             lambda s, sf: w.runlength_islands(_t(s, sf, "events")),
@@ -302,32 +389,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_h3":
             lambda s, sf: dd.simhash_dup_pairs(
                 _t(s, sf, "documents"), max_hamming=3),
+        # d+1-chunk banding: 7 chunks pigeonhole-guarantee FULL recall at
+        # hamming <= 6 — the arbitrary-distance variant the 4-chunk default
+        # can't provide (see simhash_dup_pairs docstring)
+        "dedup_simhash_h6_c7":
+            lambda s, sf: dd.simhash_dup_pairs(
+                _t(s, sf, "documents"), max_hamming=6, chunks=7),
         # -- similarity search ---------------------------------------------
         "emb_cosine_topk":
             lambda s, sf: sim.cosine_topk(_t(s, sf, "embeddings"), 0, k=10),
         "emb_ivf_topk":
             lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
+        # dim=64 (TESTDATA.md embeddings) keeps plan construction fully
+        # lazy — no first() probe job inside hyperplane_signature
         "emb_lsh_topk":
-            lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5),
+            lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0,
+                                              k=5, dim=64),
         "emb_lsh_topk_probed":
             lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0,
-                                              k=5, multi_probe=True),
-        # learned-cell IVF (deterministic Lloyd k-means): iterative — not
-        # SQL-expressible, so rows-only; determinism + cluster quality are
-        # pinned in tests/test_kmeans.py, and the shuffle-free assignment
-        # plan in tests/test_plans.py
+                                              k=5, multi_probe=True, dim=64),
+        # learned-cell IVF (deterministic Lloyd k-means). quantize=6 rounds
+        # each recomputed centroid component so the iteration is
+        # engine-reproducible: the DuckDB oracle re-runs the SAME unrolled
+        # 3-round Lloyd recursion (seeds = 4 smallest vec_ids are raw input
+        # floats, distances are computed from identical doubles, and the
+        # only cross-engine fp divergence — avg aggregation order — is
+        # absorbed by the rounding). Upgraded from rows-only in round 3.
         "emb_ivf_learned_topk":
             lambda s, sf: km.ivf_cells_topk(_t(s, sf, "embeddings"), 0,
-                                            k_cells=4, top_k=5, iters=3),
+                                            k_cells=4, top_k=5, iters=3,
+                                            quantize=6),
         "emb_dup_pairs":
             lambda s, sf: sim.embedding_dup_pairs(_t(s, sf, "embeddings"),
                                                   threshold=0.4),
         "emb_dup_pairs_lsh":
             lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
-                                                      threshold=0.3),
+                                                      threshold=0.3, dim=64),
         "emb_dup_pairs_lsh_probed":
             lambda s, sf: sim.embedding_dup_pairs_lsh(
-                _t(s, sf, "embeddings"), threshold=0.3, multi_probe=True),
+                _t(s, sf, "embeddings"), threshold=0.3, multi_probe=True,
+                dim=64),
         "dedup_keep_first": _dedup_keep_first,
         # -- skew handling ----------------------------------------------------
         "salted_hot_key_count": _salted_hot_key_count,
@@ -434,7 +535,18 @@ WITH sig AS (
 )
 """
 
-    simhash_pairs_oracle = f"""
+    # chunk banding table shared with the Spark operator: (chunk, shift,
+    # mask) rows come from the SAME simhash_chunk_spans the operator bands
+    # with, so the two engines cannot drift on band geometry
+    from norsk_historisk_avis_ocr_spark.operators.dedup import (
+        simhash_chunk_spans,
+    )
+
+    def simhash_pairs_oracle(max_hamming: int, chunks: int) -> str:
+        bands = ", ".join(
+            f"({c}, {shift}, {(1 << width) - 1})"
+            for c, (shift, width) in enumerate(simhash_chunk_spans(chunks)))
+        return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -455,8 +567,8 @@ sh AS (
 ),
 keyed AS (
   SELECT doc_id, simhash, c.chunk,
-         (simhash >> (c.chunk * 14)) & 16383 AS chunk_val
-  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk) c
+         (simhash >> c.shift) & c.mask AS chunk_val
+  FROM sh, (VALUES {bands}) c(chunk, shift, mask)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -466,7 +578,7 @@ cand AS (
        AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
     components_oracle = sig_cte.replace(
@@ -497,6 +609,52 @@ SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
 FROM reach GROUP BY src
 """
 
+    # Learned-IVF (deterministic Lloyd, k=4, iters=3, quantize=6) unrolled
+    # into SQL: assignment = row_number argmin over the centroid set with
+    # the (d2 asc, cell asc) tie-break the Spark operator's array_min struct
+    # ordering implements; centroid recompute = 64 per-dim ROUND(avg, 6)
+    # terms — the same quantization kmeans_assign(quantize=6) applies, which
+    # is what makes the iteration engine-reproducible (seeds and distances
+    # are computed from bit-identical doubles; only avg order differs and
+    # the rounding absorbs it).
+    _km_d2 = ("list_sum(list_transform(range(1, 65), "
+              "i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i])))")
+
+    def _km_assign(cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_km_d2} ASC, s.cell ASC) AS rn
+    FROM e CROSS JOIN {cents} s
+  ) WHERE rn = 1
+)"""
+
+    _km_means = "[" + ", ".join(
+        f"round(avg(v[{i + 1}]), 6)" for i in range(64)) + "]"
+    kmeans_ivf_oracle = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+c1 AS (SELECT vec_id AS cell, v FROM e ORDER BY vec_id LIMIT 4),
+{_km_assign('c1', 'a1')},
+c2 AS (SELECT cell, {_km_means} AS v FROM a1 GROUP BY cell),
+{_km_assign('c2', 'a2')},
+c3 AS (SELECT cell, {_km_means} AS v FROM a2 GROUP BY cell),
+{_km_assign('c3', 'a3')},
+q AS (SELECT cell AS qcell, v AS qv FROM a3 WHERE vec_id = 0),
+s AS (
+  SELECT a3.vec_id,
+         ROUND(list_dot_product(a3.v, qv) /
+               (sqrt(list_dot_product(a3.v, a3.v)) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM a3, q WHERE a3.vec_id <> 0 AND a3.cell = qcell
+)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
     cos = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -510,6 +668,17 @@ s AS (
 """
 
     return {
+        # self-verifying pipeline rows: the Spark side compares its own
+        # output against the EXECUTED reference inside the UDF and reports
+        # (n_checked, n_mismatch); the oracle only has to assert the corpus
+        # size and zero mismatches — any byte/geometry drift hash-FAILs
+        "extract_verified": """
+SELECT COUNT(*) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch FROM documents
+""",
+        "raster_verified": """
+SELECT LEAST(COUNT(*), 40) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
         "w1_runlength_islands": _ISLANDS_CTE + """
 SELECT user_id, event_type, island_start, island_end, island_len FROM isl
 """,
@@ -722,10 +891,12 @@ SELECT doc_id,
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
-        "dedup_simhash": simhash_pairs_oracle,
+        "dedup_simhash": simhash_pairs_oracle(12, 4),
         # same pipeline, threshold where the 4-chunk pigeonhole guarantees
         # full recall
-        "dedup_simhash_h3": simhash_pairs_oracle.replace("<= 12", "<= 3"),
+        "dedup_simhash_h3": simhash_pairs_oracle(3, 4),
+        # d+1-chunk banding: guaranteed recall at hamming <= 6 via 7 chunks
+        "dedup_simhash_h6_c7": simhash_pairs_oracle(6, 7),
         "emb_cosine_topk": cos +
             "SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
         "emb_dup_pairs": """
@@ -807,6 +978,9 @@ scored AS (
 )
 SELECT DISTINCT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
 """,
+        # learned-cell IVF: the full 3-round Lloyd recursion unrolled (was
+        # rows-only through round 2; value-exact from round 3)
+        "emb_ivf_learned_topk": kmeans_ivf_oracle,
         "emb_ivf_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
            FROM embeddings WHERE vec_id = 0),

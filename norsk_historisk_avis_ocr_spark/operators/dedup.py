@@ -135,6 +135,7 @@ def connected_components_star(pairs: DataFrame,
         .localCheckpoint(eager=False)
     n_e = e.count()
 
+    converged = False
     for _ in range(max_iter):
         nbr = e.unionAll(
             e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -163,7 +164,17 @@ def connected_components_star(pairs: DataFrame,
                   and new_e.exceptAll(e).limit(1).count() == 0)
         e, n_e = new_e, n_new
         if stable:
+            converged = True
             break
+    if not converged:
+        # the labeling step below assumes the edge set is a star forest —
+        # a truncated run would yield WRONG component ids, not merely
+        # incomplete propagation, so this must not pass silently
+        import warnings
+        warnings.warn(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds; component ids may be wrong — raise max_iter",
+            RuntimeWarning, stacklevel=2)
 
     # converged edge set is a star forest: non-min nodes hold an edge to
     # their component min; min nodes label themselves
@@ -323,27 +334,42 @@ def simhash_values(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", value.alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_chunk_spans(chunks: int) -> list[tuple[int, int]]:
+    """(shift, width) per chunk: the 56 hash bits split into ``chunks``
+    contiguous bands, low chunks first, remainder bits on the high chunks.
+    Shared with the DuckDB oracle so both engines band identically."""
+    if not 1 <= chunks <= SIMHASH_BITS:
+        raise ValueError(f"chunks must be in [1, {SIMHASH_BITS}]")
+    base, rem = divmod(SIMHASH_BITS, chunks)
+    spans, shift = [], 0
+    for c in range(chunks):
+        width = base + (1 if c >= chunks - rem else 0)
+        spans.append((shift, width))
+        shift += width
+    return spans
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                      chunks: int = 4) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``.
 
-    Candidates come from equality of any of 4 14-bit chunks, then exact
-    verify with bit_count(xor) — a bucket join, never a cross join, which
-    is what scales this to 10^12 rows. Pigeonhole guarantees FULL recall
-    only for ``max_hamming <= 3`` (4 chunks ⇒ ≥1 chunk untouched); above
-    that the result is approximate — pairs whose differing bits span all 4
-    chunks are missed. For guaranteed recall at distance d, band into d+1
-    chunks instead (cost: more candidate buckets per row).
+    Candidates come from equality of any of ``chunks`` bit-bands of the
+    56-bit hash, then exact verify with bit_count(xor) — a bucket join,
+    never a cross join, which is what scales this to 10^12 rows. Pigeonhole
+    guarantees FULL recall iff ``max_hamming <= chunks - 1`` (≥1 band is
+    untouched by the differing bits); beyond that the result is approximate
+    — pairs whose differing bits span every band are missed. So for
+    guaranteed recall at distance d, pass ``chunks=d + 1`` (cost: d+1
+    candidate buckets per row instead of 4, i.e. more join fan-out — still
+    an equi-join, never all-pairs).
     """
     sh = simhash_values(docs)
-    chunks = 4
-    chunk_bits = SIMHASH_BITS // chunks
-    mask = (1 << chunk_bits) - 1
     parts = []
-    for c in range(chunks):
+    for c, (shift, width) in enumerate(simhash_chunk_spans(chunks)):
         parts.append(sh.select(
             "doc_id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright("simhash", c * chunk_bits)
-             .bitwiseAND(F.lit(mask)).alias("chunk_val")))
+            F.shiftright("simhash", shift)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val")))
     keyed = parts[0]
     for p in parts[1:]:
         keyed = keyed.unionAll(p)

@@ -29,8 +29,18 @@ def _sq_dist(a, b):
 
 
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
-                  vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cell) assignment after ``iters`` Lloyd rounds."""
+                  vec_col: str = "embedding",
+                  quantize: int | None = None) -> DataFrame:
+    """(vec_id, cell) assignment after ``iters`` Lloyd rounds.
+
+    ``quantize``: round every recomputed centroid component to this many
+    decimals before the next assignment round. Seeds are raw input floats
+    (bit-identical in any engine), so with quantization the whole iteration
+    becomes engine-reproducible: the only cross-engine fp divergence is the
+    aggregation order inside ``avg``, which rounding absorbs — this is what
+    lets the contract pin the learned-IVF query against a DuckDB oracle
+    that re-runs the same unrolled Lloyd recursion. ``None`` keeps exact
+    means (single-engine use)."""
     # null embeddings carry no geometry: exclude them up front (they would
     # otherwise shrink the seed set below k and be mis-assigned through
     # NULL-distance struct comparison); they simply have no (vec_id, cell)
@@ -39,13 +49,19 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     points = points.localCheckpoint(eager=False)
 
+    first = points.orderBy("vec_id").limit(1).collect()
+    if not first:  # empty input → empty assignment
+        return points.select(
+            "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
+    dim = len(first[0].v)
+    # ragged guard: a vector shorter than dim would make v[i] NULL, poison
+    # the per-dim avg, and crash float(None) on the driver mid-iteration —
+    # rows of the wrong length carry no comparable geometry, so they get no
+    # (vec_id, cell) row (same contract as null embeddings above)
+    points = points.filter(F.size("v") == dim)
     seeds = points.orderBy("vec_id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
-    if not cents:  # empty input → empty assignment
-        return points.select(
-            "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
-    dim = len(cents[0][1])
 
     def assign(cent_list):
         # argmin over a centroid literal: struct ordering gives
@@ -66,18 +82,21 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
         means = assigned.groupBy("cell").agg(
             *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
         cents = sorted(
-            (int(r["cell"]), [float(r[f"m{i}"]) for i in range(dim)])
+            (int(r["cell"]),
+             [round(float(r[f"m{i}"]), quantize) if quantize is not None
+              else float(r[f"m{i}"]) for i in range(dim)])
             for r in means.collect())
         assigned = assign(cents)
     return assigned.select("vec_id", "cell")
 
 
 def ivf_cells_topk(emb: DataFrame, query_vec_id: int, k_cells: int = 8,
-                   top_k: int = 5, iters: int = 3) -> DataFrame:
+                   top_k: int = 5, iters: int = 3,
+                   quantize: int | None = None) -> DataFrame:
     """IVF ANN over learned cells: k-means assignment, then exact cosine
     top-k inside the query's cell only."""
     from .similarity import cosine_scores
-    cells = kmeans_assign(emb, k=k_cells, iters=iters)
+    cells = kmeans_assign(emb, k=k_cells, iters=iters, quantize=quantize)
     tagged = emb.join(cells, "vec_id")
     q = tagged.filter(F.col("vec_id") == query_vec_id) \
         .select(F.col("cell").alias("qcell"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,6 +25,61 @@ def resume_filter(pages: DataFrame, done_urls: DataFrame,
     if broadcast_done:
         done = F.broadcast(done)
     return pages.join(done, "url", "left_anti")
+
+
+class _LineageAccParam(AccumulatorParam):
+    """Dict accumulator {partition_id: [n_urls, bytes_in, n_blocks,
+    n_mastheads]} merged by per-key elementwise addition."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            a[k] = [x + y for x, y in zip(cur, v)] if cur else list(v)
+        return a
+
+
+LINEAGE_SCHEMA = ("partition_id int, n_urls long, bytes_in long, "
+                  "n_blocks long, n_mastheads long")
+
+
+def with_lineage_stats(results: DataFrame, acc) -> DataFrame:
+    """Pass-through stage that accumulates per-partition lineage stats
+    while the batch streams to the sink — commit-stats in ONE scan (the
+    round-2 shape persisted the batch DISK_ONLY and read it three times).
+
+    Accumulator exactly-once caveat: Spark applies accumulator updates from
+    *successful result-stage tasks* exactly once, and a sink write is a
+    result stage (each task commits), so retried/speculative tasks don't
+    double-count. Updates from re-run shuffle-stage tasks can double-count
+    — don't put a shuffle between this stage and the write."""
+    has_metrics = "metrics" in results.columns
+
+    def fn(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                if has_metrics:
+                    ms = pdf["metrics"]
+                    stats = [n, int(sum(m["html_bytes"] for m in ms)),
+                             int(sum(m["n_blocks"] for m in ms)),
+                             int(sum(1 for m in ms if m["has_masthead"]))]
+                else:  # projected output: row counts only
+                    stats = [n, 0, 0, 0]
+                acc.add({pid: stats})
+            yield pdf
+
+    return results.mapInPandas(fn, schema=results.schema)
+
+
+def lineage_rows_from_stats(spark: SparkSession, stats: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(pid), *(int(x) for x in v)) for pid, v in sorted(stats.items())],
+        LINEAGE_SCHEMA)
 
 
 def partition_lineage(results: DataFrame) -> DataFrame:
@@ -56,8 +112,6 @@ def run_with_resume_bucketed(spark: SparkSession, pages_table: str,
 
     Returns the number of newly committed rows.
     """
-    from pyspark import StorageLevel
-
     from .extract import extract_pages, split_quarantine
 
     pages = spark.table(pages_table)
@@ -68,15 +122,12 @@ def run_with_resume_bucketed(spark: SparkSession, pages_table: str,
     todo = resume_filter(pages, done)
     good, _bad = split_quarantine(todo)
     results = extract_pages(good, **(extract_kwargs or {}))
-    results = results.persist(StorageLevel.DISK_ONLY)
-    try:
-        n = results.count()
-        results.write.mode("append") \
-            .bucketBy(n_buckets, "url").sortBy("url") \
-            .format("parquet").saveAsTable(results_table)
-    finally:
-        results.unpersist()
-    return n
+    # commit stats ride an accumulator on the write pass: ONE scan total
+    acc = spark.sparkContext.accumulator({}, _LineageAccParam())
+    with_lineage_stats(results, acc).write.mode("append") \
+        .bucketBy(n_buckets, "url").sortBy("url") \
+        .format("parquet").saveAsTable(results_table)
+    return sum(v[0] for v in acc.value.values())
 
 
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
@@ -87,9 +138,15 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
     Returns the number of newly committed rows. Idempotent: re-running after
     a kill processes only un-committed urls (parquet job commits are atomic;
     with Iceberg this is a snapshot append).
-    """
-    from pyspark import StorageLevel
 
+    Commit-stats lineage: the per-partition counts/bytes/blocks ride a dict
+    accumulator on the write pass itself (``with_lineage_stats``), so the
+    batch is extracted and scanned exactly ONCE — no persist, no re-read of
+    the batch, and the committed output table is never re-read either. The
+    lineage rows (one per task partition, tiny) are created driver-side
+    from the accumulator AFTER the commit succeeds, so a killed run never
+    records lineage for an uncommitted batch.
+    """
     from ..sources.sinks import read_done_urls, write_lineage, write_results
     from .extract import extract_pages, split_quarantine
 
@@ -97,29 +154,12 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
     todo = resume_filter(pages, done)
     good, bad = split_quarantine(todo)
     results = extract_pages(good, **(extract_kwargs or {}))
-    # One extraction pass total: persist the batch to local disk (not
-    # memory — rows carry multi-KB text columns) so the batch count, the
-    # per-partition lineage, and the commit write all read the materialized
-    # batch. The committed output table is never re-read (the round-1
-    # shape rescanned it twice per batch — O(corpus) at 10^12 rows).
-    #
-    # Ordering matters: the batch plan references out_path (via the
-    # anti-join's done-scan), and appending to a path recaches every
-    # cached plan that reads it — so count/lineage are taken from the
-    # cache BEFORE the append. Lineage rows are one-per-task-partition
-    # (tiny), collected and re-created driver-side so they can be written
-    # AFTER the results commit without touching the invalidated cache.
-    results = results.persist(StorageLevel.DISK_ONLY)
-    try:
-        n = results.count()
-        lineage_rows = (
-            partition_lineage(results).collect()
-            if n and lineage_path else None)
-        write_results(results, out_path)
-        if lineage_rows:
-            lineage = spark.createDataFrame(lineage_rows) \
-                .withColumn("committed_at", F.lit(int(time.time())))
-            write_lineage(lineage, lineage_path)
-    finally:
-        results.unpersist()
+    acc = spark.sparkContext.accumulator({}, _LineageAccParam())
+    write_results(with_lineage_stats(results, acc), out_path)
+    stats = acc.value
+    n = sum(v[0] for v in stats.values())
+    if n and lineage_path:
+        lineage = lineage_rows_from_stats(spark, stats) \
+            .withColumn("committed_at", F.lit(int(time.time())))
+        write_lineage(lineage, lineage_path)
     return n

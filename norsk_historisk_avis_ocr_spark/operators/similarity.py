@@ -104,14 +104,19 @@ def hyperplane_signature(emb: DataFrame, n_planes: int = 8,
 
 def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
                     n_planes: int = 8,
-                    multi_probe: bool = False) -> DataFrame:
+                    multi_probe: bool = False,
+                    dim: int | None = None) -> DataFrame:
     """ANN via hyperplane-LSH bucket + exact re-rank inside the bucket.
 
     ``multi_probe=True`` probes the query's signature plus every one-bit
     flip of it (candidates within hamming ≤ 1 of the query's bucket) —
     the standard recall lever that costs n_planes+1 tiny broadcast keys
-    instead of another plane family."""
-    signed = hyperplane_signature(emb, n_planes)
+    instead of another plane family.
+
+    ``dim``: embedding dimensionality, forwarded to
+    :func:`hyperplane_signature` — pass it when known so plan construction
+    stays fully lazy (no ``first()`` probe job)."""
+    signed = hyperplane_signature(emb, n_planes, dim=dim)
     q = signed.filter(F.col("vec_id") == query_vec_id) \
         .select(F.col("lsh_sig").alias("qsig"))
     if multi_probe:
@@ -144,7 +149,8 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
                             n_planes: int = 8,
-                            multi_probe: bool = False) -> DataFrame:
+                            multi_probe: bool = False,
+                            dim: int | None = None) -> DataFrame:
     """Scale path for embedding dedup: hyperplane-LSH bucket candidates
     (equal signature → probable high cosine), exact verify inside buckets.
     Recall < 1 by construction (bucket misses).
@@ -155,8 +161,11 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     candidates — recall of hamming ≤ 1 for an (n_planes+1)× candidate-key
     fan-out on one side, still a bucketed equi-join, still never a cross
     join. The classic alternative — more plane families unioned — costs a
-    full extra signature pass per family."""
-    signed = hyperplane_signature(emb, n_planes)
+    full extra signature pass per family.
+
+    ``dim``: forwarded to :func:`hyperplane_signature`; pass it when known
+    to keep plan construction lazy (no ``first()`` probe job)."""
+    signed = hyperplane_signature(emb, n_planes, dim=dim)
     a = signed.select(F.col("vec_id").alias("vid_a"),
                       F.col("embedding").cast("array<double>").alias("ea"),
                       F.col("lsh_sig").alias("sig_a"))

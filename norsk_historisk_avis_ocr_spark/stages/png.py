@@ -101,10 +101,19 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, w = len(_SIGNATURE), 0
     h = bit_depth = color_type = interlace = None
     idat = bytearray()
+    saw_iend = False
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        # loud-failure contract: a bit-flipped body that still inflates to
+        # the right length must not decode silently to wrong pixels
+        (stored_crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != stored_crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         pos += 12 + length
         if tag == b"IHDR":
             w, h, bit_depth, color_type, _comp, _filt, interlace = \
@@ -112,9 +121,12 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            saw_iend = True
             break
     if h is None:
         raise ValueError("no IHDR chunk")
+    if not saw_iend:
+        raise ValueError("truncated PNG (no IEND chunk)")
     if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={bit_depth} color={color_type} "

@@ -12,6 +12,8 @@ hazards)."""
 import numpy as np
 import pytest
 
+from norsk_historisk_avis_ocr_spark.refexec import Image as _Image
+from norsk_historisk_avis_ocr_spark.refexec import Pixels as _Pixels
 from norsk_historisk_avis_ocr_spark.sources.rasters import synth_page_array
 from norsk_historisk_avis_ocr_spark.stages.layout import (
     detect_title_region, find_band_dividers, find_gap_boundaries,
@@ -23,42 +25,6 @@ from engines import _columns as ref  # /root/reference on sys.path (conftest)
 # Smaller than contract pages: the reference walks pixels in pure Python.
 W, H = 940, 680
 PAGE_IDS = [f"parity-{i}" for i in range(8)]
-
-
-class _Pixels:
-    """numpy (H, W) array behind PIL's ``pixels[x, y]`` protocol."""
-
-    def __init__(self, arr):
-        self._rows = arr.tolist()
-
-    def __getitem__(self, xy):
-        x, y = xy
-        return self._rows[y][x]
-
-
-class _Image:
-    """Just enough of PIL.Image for ``_detect_title_region``/
-    ``_split_columns``: convert("L") → self, size, load(), crop() records
-    its box."""
-
-    def __init__(self, arr, box=None):
-        self._arr = arr
-        self.box = box
-
-    def convert(self, mode):
-        assert mode == "L"
-        return self
-
-    @property
-    def size(self):
-        return (self._arr.shape[1], self._arr.shape[0])
-
-    def load(self):
-        return _Pixels(self._arr)
-
-    def crop(self, box):
-        x0, y0, x1, y1 = (int(v) for v in box)
-        return _Image(self._arr[y0:y1, x0:x1], box=(x0, y0, x1, y1))
 
 
 @pytest.fixture(scope="module", params=PAGE_IDS)

@@ -1,0 +1,181 @@
+"""Round-3 additions: self-verifying contract rows, parameterized simhash
+banding, engine-reproducible k-means, lazy LSH plan construction, PNG CRC,
+star-CC convergence contract."""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from norsk_historisk_avis_ocr_spark.operators import dedup as dd
+from norsk_historisk_avis_ocr_spark.operators import similarity as sim
+from norsk_historisk_avis_ocr_spark.operators.kmeans import kmeans_assign
+from norsk_historisk_avis_ocr_spark.refexec import golden_text
+from norsk_historisk_avis_ocr_spark.sources.pages import build_page
+from norsk_historisk_avis_ocr_spark.stages.png import decode_png, encode_png
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- self-verifying contract rows ----------------------------------------
+
+def test_extract_verified_reports_zero_mismatch(spark, sf_dir,
+                                                documents_rows):
+    row = entry.queries()["extract_verified"](spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0].n_checked == len(documents_rows)
+    assert row[0].n_mismatch == 0
+
+
+def test_raster_verified_reports_zero_mismatch(spark, sf_dir,
+                                               documents_rows):
+    row = entry.queries()["raster_verified"](spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0].n_checked == min(len(documents_rows), 40)
+    assert row[0].n_mismatch == 0
+
+
+def test_golden_text_matches_pipeline_derivation(reference_textops):
+    """refexec.golden_text IS the byte-identity derivation the pipeline
+    test uses — and it actually detects drift (negative control)."""
+    ref_clean, ref_reflow, _ = reference_textops
+    p = build_page(5, "ord " * 60, "no")
+    combined, transcribed = golden_text(p["planted_header"],
+                                        p["planted_columns"])
+    sections = []
+    if p["planted_header"] is not None:
+        sections.append(ref_clean(p["planted_header"]))
+    sections += [ref_clean(c) for c in (p["planted_columns"] or [""])]
+    assert combined == "\n\n".join(sections) + "\n"
+    reflowed = [ref_reflow(s) for s in sections]
+    assert transcribed == "\n\n".join(s for s in reflowed if s) + "\n"
+    # drift in any planted section changes the golden → a mismatch count
+    drifted, _ = golden_text(p["planted_header"],
+                             list(p["planted_columns"]) + ["EXTRA"])
+    assert drifted != combined
+
+
+# --- parameterized simhash banding ----------------------------------------
+
+def test_simhash_chunk_spans_partition_the_hash():
+    for chunks in (1, 4, 5, 7, 14, 56):
+        spans = dd.simhash_chunk_spans(chunks)
+        assert len(spans) == chunks
+        assert sum(w for _, w in spans) == dd.SIMHASH_BITS
+        # contiguous, low-to-high
+        pos = 0
+        for shift, width in spans:
+            assert shift == pos and width >= 1
+            pos += width
+    with pytest.raises(ValueError):
+        dd.simhash_chunk_spans(0)
+    with pytest.raises(ValueError):
+        dd.simhash_chunk_spans(57)
+
+
+def test_simhash_chunks7_full_recall_at_h6(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    values = {r.doc_id: r.simhash
+              for r in dd.simhash_values(docs).collect()}
+    want = set()
+    ids = sorted(values)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(values[a] ^ values[b]).count("1") <= 6:
+                want.add((a, b))
+    got = {(r.doc_a, r.doc_b)
+           for r in dd.simhash_dup_pairs(docs, max_hamming=6,
+                                         chunks=7).collect()}
+    assert got == want  # d+1 chunks ⇒ pigeonhole full recall at d
+
+
+def test_simhash_default_chunks_unchanged(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = {(r.doc_a, r.doc_b, r.hamming)
+         for r in dd.simhash_dup_pairs(docs, max_hamming=3).collect()}
+    b = {(r.doc_a, r.doc_b, r.hamming)
+         for r in dd.simhash_dup_pairs(docs, max_hamming=3,
+                                       chunks=4).collect()}
+    assert a == b
+
+
+# --- k-means: ragged guard + quantized reproducibility --------------------
+
+def test_kmeans_ragged_vectors_excluded(spark):
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [2.0, 1.0, 0.0]),
+            (2, [9.0]),            # ragged: wrong dimensionality
+            (3, None),             # null: no geometry
+            (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_assign(df, k=2, iters=3).collect()
+    assert {r.vec_id for r in got} == {0, 1, 4}
+    assert all(r.cell is not None for r in got)
+
+
+def test_kmeans_quantize_deterministic(spark, sf_dir):
+    a = sorted((r.vec_id, r.cell) for r in
+               kmeans_assign(_emb(spark, sf_dir), k=4, iters=3,
+                             quantize=6).collect())
+    b = sorted((r.vec_id, r.cell) for r in
+               kmeans_assign(_emb(spark, sf_dir), k=4, iters=3,
+                             quantize=6).collect())
+    assert a == b and len(a) > 0
+
+
+# --- LSH: plan construction must stay lazy when dim is known --------------
+
+def test_lsh_dim_passthrough_no_eager_action(spark, sf_dir, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("eager .first() during plan construction")
+
+    emb = _emb(spark, sf_dir)
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    # building all three LSH plans must not run a Spark action
+    sim.lsh_bucket_topk(emb, 0, k=5, dim=64)
+    sim.lsh_bucket_topk(emb, 0, k=5, multi_probe=True, dim=64)
+    sim.embedding_dup_pairs_lsh(emb, threshold=0.3, dim=64)
+
+
+# --- PNG: loud-failure contract on corrupted payloads ----------------------
+
+def test_png_crc_mismatch_raises():
+    img = (np.arange(40 * 30, dtype=np.uint32) % 251).astype(np.uint8) \
+        .reshape(40, 30)
+    data = bytearray(encode_png(img))
+    # flip one bit inside the IDAT body (not the length/tag/CRC fields)
+    idat = bytes(data).index(b"IDAT")
+    data[idat + 10] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    # untouched payload still round-trips
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_truncated_chunk_raises():
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    data = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(data[:len(data) - 6])  # IEND cut mid-chunk
+
+
+# --- star CC: truncated run must not pass silently -------------------------
+
+def test_star_cc_warns_when_not_converged(spark):
+    # a 12-node path graph needs >1 star round to collapse
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        dd.connected_components_star(pairs, max_iter=1).collect()
+    # converged run stays silent and labels the path as one component
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = dd.connected_components_star(pairs, max_iter=20).collect()
+    assert {r.component_id for r in labels} == {0}
+    assert len(labels) == 13
