@@ -27,6 +27,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from norsk_historisk_avis_ocr_spark.operators import extract_pages  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import corpus as cp  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import dedup as dd  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import kmeans as km  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import multimodal as mm  # noqa: E402
@@ -290,6 +291,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return flags.agg(F.sum("n").alias("n_checked"),
                          F.sum("bad").alias("n_mismatch"))
 
+    def raster_verified_jpeg(spark, sf):
+        """JPEG leg of the self-verifying raster row: pages encoded as
+        baseline JPEG (the reference's other payload encoding), decoded by
+        the in-tree ``stages/jpeg.py`` decoder inside ``segment_image_pages``
+        and verified against the reference's ``_split_columns`` executed on
+        the SAME decoded pixels — exact by construction regardless of JPEG
+        loss. 700×520 pages: the entropy decode is a Python bitstream walk;
+        smaller pages keep the contract probe fast while still exercising
+        dividers, masthead gaps, and subdivision."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_image_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            jpeg_pages_df,
+        )
+        pages = jpeg_pages_df(spark, sf, limit=16, partitions=8)
+        geo = segment_image_pages(pages)
+
+        def vfn(batches):
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.refexec import golden_geometry
+            from norsk_historisk_avis_ocr_spark.sources.rasters import (
+                synth_page_array,
+            )
+            from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+                decode_jpeg_gray, encode_jpeg_gray,
+            )
+
+            def as_tuple(box):
+                if box is None:
+                    return None
+                return (box["x0"], box["y0"], box["x1"], box["y1"])
+
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    n += 1
+                    if row.decode_error is not None:
+                        bad += 1
+                        continue
+                    decoded = decode_jpeg_gray(encode_jpeg_gray(
+                        synth_page_array(row.page_id, width=700, height=520),
+                        quality=97))
+                    want_title, want_cols = golden_geometry(decoded)
+                    got_cols = [as_tuple(b) for b in row.column_boxes]
+                    if (as_tuple(row.title_box) != want_title
+                            or got_cols != want_cols):
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = geo.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
         "extract_pipeline": extract_pipeline,
@@ -298,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- self-verifying rows: Spark output vs EXECUTED reference -------
         "extract_verified": extract_verified,
         "raster_verified": raster_verified,
+        "raster_verified_jpeg": raster_verified_jpeg,
         # -- window-shaped W1-W4 + friends ---------------------------------
         "w1_runlength_islands":
             lambda s, sf: w.runlength_islands(_t(s, sf, "events")),
@@ -440,6 +498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, sf: q.fingerprints(_t(s, sf, "documents")),
         "stopword_ratios":
             lambda s, sf: q.stopword_ratios(_t(s, sf, "documents")),
+        # -- corpus assembly (splits / sampling / packing) -------------------
+        "corpus_split":
+            lambda s, sf: cp.deterministic_split(
+                _t(s, sf, "documents").select("doc_id")),
+        "corpus_sample":
+            lambda s, sf: cp.stratified_sample(
+                _t(s, sf, "documents"), rate=0.2, rates={"en": 0.5})
+                .select("doc_id", "lang"),
+        "pack_sequences":
+            lambda s, sf: cp.pack_sequences(_t(s, sf, "documents"),
+                                            budget=512),
         # composed pipeline: dedup (keep-first over the planted-duplicate
         # corpus) → language allowlist → quality floor → token counts
         "corpus_prep":
@@ -677,6 +746,10 @@ SELECT COUNT(*) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch FROM documents
 """,
         "raster_verified": """
 SELECT LEAST(COUNT(*), 40) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+        "raster_verified_jpeg": """
+SELECT LEAST(COUNT(*), 16) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
 """,
         "w1_runlength_islands": _ISLANDS_CTE + """
@@ -1105,6 +1178,48 @@ WITH t AS (
 SELECT doc_id,
        ROUND(len(list_filter(toks, x -> list_contains([{sw_en}], x)))
              / GREATEST(len(toks), 1), 6) AS en_stopword_ratio
+FROM t
+""",
+        # hash-bucket split: thresholds over the portable hash of
+        # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
+        "corpus_split": f"""
+WITH b AS (
+  SELECT doc_id,
+         {_H60.format(x=chr(39) + 'split-v1:' + chr(39)
+                      + ' || CAST(doc_id AS VARCHAR)')} % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+        "corpus_sample": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {_H60.format(x=chr(39) + 'sample-v1:' + chr(39)
+                      + ' || CAST(doc_id AS VARCHAR)')} % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
+""",
+        # block-style packing: pack_id = chunk index of the document's
+        # first token when the group is concatenated in doc_id order
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS pack_id
 FROM t
 """,
         "corpus_prep": f"""

@@ -132,6 +132,27 @@ def main():
         results["raster_segment"] = round(min(seg_times), 3)
         raster_pages_per_sec = round(n_pages / min(seg_times), 1)
 
+        # JPEG leg (new in round 3): baseline JPEG decode → geometry. Pages
+        # are 700×520 (the Huffman bitstream walk is Python-side; the leg
+        # characterizes the decoder, not the page size).
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            jpeg_pages_df,
+        )
+        jpeg_path = os.path.join(tmp, "jpegs")
+        jpeg_pages_df(spark, sf_dir, limit=256,
+                      partitions=cpus).write.parquet(jpeg_path)
+        jpegs = spark.read.parquet(jpeg_path)
+        n_jpegs = jpegs.count()
+        jseg = segment_png_pages(jpegs)
+        _noop(jseg)  # warm
+        jseg_times = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop(jseg)
+            jseg_times.append(time.time() - t0)
+        results["jpeg_segment"] = round(min(jseg_times), 3)
+        jpeg_pages_per_sec = round(n_jpegs / min(jseg_times), 1)
+
         analytics = {
             "w1_islands": lambda: w.runlength_islands(t("events")),
             "w4_reading_order": lambda: w.reading_order_concat(t("lineitem")),
@@ -172,6 +193,7 @@ def main():
             "docs": n_docs,
             "extract_docs_per_sec": round(n_docs / extract_sec, 1),
             "raster_pages_per_sec": raster_pages_per_sec,
+            "jpeg_pages_per_sec": jpeg_pages_per_sec,
             "extract_warmup_sec": round(warmup_sec, 3),
             "cpus": cpus,
         }))

@@ -3,13 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
 pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG (the
-stdlib codec in ``stages/png.py``: true dimensions + grayscale-histogram
-features); JPEG/audio/video decode is stubbed (no codecs in this
-container) with deterministic fake dimensions/features derived from the
-bytes, behind a clearly-marked switch, while all the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures, feature vectors — is real
-and tested. Swapping a stub branch for a real decoder changes one
-function.
+stdlib codec in ``stages/png.py``) and baseline JPEG (``stages/jpeg.py``):
+true dimensions + grayscale-histogram features. Audio/video decode is
+stubbed (no codecs in this container) with deterministic fake
+dimensions/features derived from the bytes, behind a clearly-marked
+switch, while all the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures, feature vectors — is real and tested.
+Swapping a stub branch for a real decoder changes one function.
 """
 
 from __future__ import annotations
@@ -57,36 +57,48 @@ def sniff_media_type(data: bytes) -> str:
     return "application/octet-stream"
 
 
-def decode_media(data: bytes) -> dict:
-    """Media decode: REAL for PNG, deterministic stub for everything else.
+def _gray_features(gray) -> dict:
+    """Shared real-image features: true dims + unit-normalized 16-bin
+    grayscale histogram (deterministic)."""
+    import numpy as np
+    hist = np.bincount((gray.ravel() >> 4), minlength=16).astype(np.float64)
+    norm = float(np.sqrt((hist * hist).sum())) or 1.0
+    return {
+        "width": int(gray.shape[1]), "height": int(gray.shape[0]),
+        "n_frames": 1,
+        "features": [float(v / norm) for v in hist],
+    }
 
-    PNG payloads go through the stdlib decoder (``stages/png.py``) — true
+
+def decode_media(data: bytes) -> dict:
+    """Media decode: REAL for PNG and baseline JPEG, deterministic stub for
+    everything else.
+
+    PNG payloads go through the stdlib decoder (``stages/png.py``) and JPEG
+    payloads through the baseline decoder (``stages/jpeg.py``) — true
     dimensions, and the feature vector is a unit-normalized 16-bin
-    grayscale histogram (a real, deterministic image feature). JPEG/audio/
-    video codecs are unavailable in this container, so those payloads get
-    stable pseudo-metadata and a unit-normalized vector derived from a
-    SHA-256 of the bytes — same shapes, swap-in point for
-    PIL/torchvision/ffmpeg in production. A malformed PNG falls through to
-    the stub rather than failing the task (quarantine-by-degradation).
+    grayscale histogram (a real, deterministic image feature). Audio/video
+    codecs are unavailable in this container, so those payloads get stable
+    pseudo-metadata and a unit-normalized vector derived from a SHA-256 of
+    the bytes — same shapes, swap-in point for ffmpeg in production. A
+    malformed/non-baseline image falls through to the stub rather than
+    failing the task (quarantine-by-degradation).
     """
     if data.startswith(b"\x89PNG"):
         try:
-            import numpy as np
-
             from ..stages.png import decode_png, to_grayscale
-            gray = to_grayscale(decode_png(data))
-            hist = np.bincount((gray.ravel() >> 4), minlength=16) \
-                .astype(np.float64)
-            norm = float(np.sqrt((hist * hist).sum())) or 1.0
-            return {
-                "width": int(gray.shape[1]), "height": int(gray.shape[0]),
-                "n_frames": 1,
-                "features": [float(v / norm) for v in hist],
-            }
+            return _gray_features(to_grayscale(decode_png(data)))
         except (ValueError, struct.error, zlib.error):
             # corrupt/truncated PNG (bad IDAT → zlib.error, short IHDR →
             # struct.error, unsupported/length mismatch → ValueError):
             # degrade to the stub rather than failing the task
+            pass
+    elif data.startswith(b"\xff\xd8\xff"):
+        try:
+            from ..stages.jpeg import decode_jpeg_gray
+            return _gray_features(decode_jpeg_gray(data))
+        except (ValueError, struct.error, IndexError):
+            # truncated/progressive/arithmetic JPEG: degrade to the stub
             pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8

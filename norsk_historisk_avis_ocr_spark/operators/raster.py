@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BinaryType, IntegerType, StringType, StructField, StructType,
 )
 
 BOX_TYPE = StructType([
@@ -78,28 +78,86 @@ def segment_rasters(df: DataFrame, id_col: str = "page_id",
     return df.mapInPandas(fn, schema=LAYOUT_SCHEMA)
 
 
-def segment_png_pages(df: DataFrame, id_col: str = "page_id",
-                      png_col: str = "png") -> DataFrame:
-    """PNG page payloads → layout geometry rows (the reference's input
-    class: encoded raster in, geometry out, ``tesseract_engine.py:143-144``).
+def render_debug_overlay(gray, geo) -> bytes:
+    """Annotated debug raster (the reference's S8 debug artifacts,
+    ``engines/_columns.py:294-418``, as a queryable column): the grayscale
+    page as RGB with column boundaries in red, the title box outlined in
+    blue, column crop boxes in green, and per-column body-top ticks in
+    orange. Returns PNG bytes."""
+    import numpy as np
 
-    Decode (stdlib PNG reader, ``stages/png.py``), PIL-compatible grayscale
-    conversion, and L1-L4 segmentation are fused into one Arrow-batched
-    stage — raw pixels never cross an Arrow boundary, only the compressed
-    payload in and the small geometry struct out. Map-only, no shuffle;
-    undecodable payloads yield a null geometry row (quarantine semantics)
-    instead of failing the task.
+    from ..stages.png import encode_png
+
+    h, w = gray.shape
+    rgb = np.repeat(gray[:, :, None], 3, axis=2).copy()
+
+    def vline(x, color):
+        x = max(0, min(w - 1, int(x)))
+        rgb[:, max(0, x - 1):min(w, x + 2)] = color
+
+    def rect(box, color):
+        x0, y0, x1, y1 = (int(v) for v in box)
+        x0, x1 = max(0, x0), min(w, x1)
+        y0, y1 = max(0, y0), min(h, y1)
+        if x1 <= x0 or y1 <= y0:
+            return
+        rgb[y0:min(h, y0 + 2), x0:x1] = color
+        rgb[max(0, y1 - 2):y1, x0:x1] = color
+        rgb[y0:y1, x0:min(w, x0 + 2)] = color
+        rgb[y0:y1, max(0, x1 - 2):x1] = color
+
+    for x in geo["boundaries"][1:-1]:
+        vline(x, (255, 0, 0))
+    for box in geo["column_boxes"]:
+        rect(box, (0, 200, 0))
+    if geo["title_box"] is not None:
+        rect(geo["title_box"], (0, 0, 255))
+    bounds = geo["boundaries"]
+    for c, top in enumerate(geo["body_top"]):
+        if c + 1 < len(bounds):
+            y = max(0, min(h - 2, int(top)))
+            rgb[y:y + 2, int(bounds[c]):int(bounds[c + 1])] = (255, 160, 0)
+    return encode_png(rgb)
+
+
+def segment_image_pages(df: DataFrame, id_col: str = "page_id",
+                        png_col: str = "png",
+                        debug_overlay: bool = False) -> DataFrame:
+    """Encoded page payloads (PNG or baseline JPEG, dispatched on magic
+    bytes) → layout geometry rows (the reference's input class: encoded
+    raster in, geometry out, ``tesseract_engine.py:143-144``).
+
+    Decode (stdlib PNG reader, ``stages/png.py``; baseline JPEG decoder,
+    ``stages/jpeg.py``), PIL-compatible grayscale conversion, and L1-L4
+    segmentation are fused into one Arrow-batched stage — raw pixels never
+    cross an Arrow boundary, only the compressed payload in and the small
+    geometry struct out. Map-only, no shuffle; undecodable payloads yield
+    a null geometry row (quarantine semantics) instead of failing the task.
+
+    ``debug_overlay=True`` adds a ``debug_png`` binary column: the page
+    re-encoded with boundary/title/column/body-top annotations drawn in
+    (:func:`render_debug_overlay`) — the reference's S8 debug artifacts as
+    a queryable column. Costs one PNG encode per page; leave off in
+    production scans.
     """
     schema = StructType(
         [LAYOUT_SCHEMA[0]]
         + [StructField(f.name, f.dataType, True) for f in LAYOUT_SCHEMA[1:]]
-        + [StructField("decode_error", StringType(), True)])
+        + [StructField("decode_error", StringType(), True)]
+        + ([StructField("debug_png", BinaryType(), True)]
+           if debug_overlay else []))
 
     def fn(batches):
         import pandas as pd
 
+        from ..stages.jpeg import decode_jpeg_gray
         from ..stages.layout import split_columns_geometry
         from ..stages.png import decode_png, to_grayscale
+
+        def decode_gray(data: bytes):
+            if data.startswith(b"\xff\xd8\xff"):
+                return decode_jpeg_gray(data)
+            return to_grayscale(decode_png(data))
 
         def box(t):
             if t is None:
@@ -111,22 +169,32 @@ def segment_png_pages(df: DataFrame, id_col: str = "page_id",
             rows = []
             for pid, data in zip(pdf[id_col], pdf[png_col]):
                 try:
-                    gray = to_grayscale(decode_png(bytes(data)))
+                    gray = decode_gray(bytes(data))
                     geo = split_columns_geometry(gray)
-                    rows.append({
+                    row = {
                         "page_id": pid,
                         "boundaries": [int(x) for x in geo["boundaries"]],
                         "body_top": [int(x) for x in geo["body_top"]],
                         "title_box": box(geo["title_box"]),
                         "column_boxes": [box(b) for b in geo["column_boxes"]],
                         "decode_error": None,
-                    })
+                    }
+                    if debug_overlay:
+                        row["debug_png"] = render_debug_overlay(gray, geo)
+                    rows.append(row)
                 except Exception as exc:  # noqa: BLE001 - quarantine row
-                    rows.append({
+                    row = {
                         "page_id": pid, "boundaries": None, "body_top": None,
                         "title_box": None, "column_boxes": None,
                         "decode_error": f"{type(exc).__name__}: {exc}",
-                    })
+                    }
+                    if debug_overlay:
+                        row["debug_png"] = None
+                    rows.append(row)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, schema=schema)
+
+
+# Historical name (round 2): the operator now also decodes baseline JPEG.
+segment_png_pages = segment_image_pages

@@ -156,3 +156,38 @@ def raster_pages_df(spark: SparkSession, sf_dir: str,
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+def jpeg_pages_df(spark: SparkSession, sf_dir: str,
+                  limit: int | None = None,
+                  partitions: int | None = None,
+                  width: int = 700, height: int = 520,
+                  quality: int = 97) -> DataFrame:
+    """JPEG-encoded deterministic page per document id — the reference's
+    other native payload encoding (``tesseract_engine.py:143-144``). Same
+    shape/contract as :func:`raster_pages_df` but the ``png`` column holds
+    baseline JPEG bytes (the column name is the payload slot, sniffing
+    dispatches the codec). Default dims are smaller than the PNG pages:
+    baseline JPEG entropy decode is a Python-loop bitstream walk, and the
+    contract leg only needs enough page to exercise every geometry path."""
+    from ..stages.jpeg import encode_jpeg_gray
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if limit is not None:
+        ids = ids.orderBy("doc_id").limit(limit)
+    if partitions:
+        ids = ids.repartition(partitions, F.col("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pid = f"page-{int(doc_id)}"
+                arr = synth_page_array(pid, width=width, height=height)
+                rows.append({"page_id": pid,
+                             "png": encode_jpeg_gray(arr, quality=quality),
+                             "width": arr.shape[1], "height": arr.shape[0]})
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=RASTER_SCHEMA)

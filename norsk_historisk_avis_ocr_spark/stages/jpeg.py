@@ -1,0 +1,494 @@
+"""Pure-stdlib+numpy baseline JPEG codec (grayscale decode path).
+
+The reference's input class is scanned newspaper pages; its engines decode
+them with PIL and re-encode to JPEG for the vision API
+(``engines/tesseract_engine.py:143-144``,
+``engines/claude_vision_engine.py:107-127``). This container has no image
+libraries, so — like ``stages/png.py`` — the raster path ships its own
+minimal codec:
+
+- :func:`decode_jpeg_gray` — baseline sequential DCT (SOF0) → the luma
+  plane as (H, W) uint8. Grayscale and YCbCr streams are supported; for
+  YCbCr only the Y component is reconstructed (the exact luma — no chroma
+  round-trip), though chroma blocks are still entropy-decoded to keep the
+  bitstream in sync. Restart markers and 16-bit quant tables are handled.
+- :func:`encode_jpeg_gray` — single-component baseline encoder (test/bench
+  input generator): level shift → 8×8 orthonormal DCT → quantize →
+  run-length + Huffman with the JPEG Annex-K-style tables written into the
+  file (the decoder always reads tables from the stream, so files are
+  self-describing).
+
+Anything non-baseline (progressive SOF2, arithmetic coding, 12-bit,
+hierarchical) raises ``ValueError`` so callers can quarantine rather than
+mis-decode — the same loud-failure contract as the PNG codec.
+
+Performance shape: Huffman symbol decode is a Python loop over a 2^16
+peek-table (O(1) per symbol), but dequant + IDCT — the arithmetic bulk —
+runs as one vectorized einsum over every block at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared constants ------------------------------------------------------
+
+# zigzag scan order as (row, col) pairs, generated (not transcribed):
+# anti-diagonals r+c = s, odd diagonals walk r ascending, even descending
+ZIGZAG: list[tuple[int, int]] = [
+    (r, s - r)
+    for s in range(15)
+    for r in (range(max(0, s - 7), min(8, s + 1)) if s % 2
+              else reversed(range(max(0, s - 7), min(8, s + 1))))
+]
+_ZZ_ROWS = np.array([r for r, _ in ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in ZIGZAG])
+
+# orthonormal 8-point DCT-II matrix (JPEG's normalization)
+_K = np.arange(8).reshape(8, 1)
+_N = np.arange(8).reshape(1, 8)
+_DCT = np.cos((2 * _N + 1) * _K * np.pi / 16) * \
+    np.where(_K == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+
+# base luminance quantization table (JPEG spec Annex K.1), natural order
+_QUANT_BASE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+# Huffman table specs (bits-per-length counts + symbol order). DC is the
+# Annex K luminance DC table; AC uses the same (run,size) symbol alphabet
+# with a generated canonical length assignment — the tables are WRITTEN
+# INTO the DHT segment, so any consistent assignment decodes identically.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+
+def _ac_table_spec() -> tuple[list[int], list[int]]:
+    """Canonical AC table over the full baseline symbol alphabet: EOB, ZRL
+    and every (run 0-15, size 1-10) pair. Short codes go to the
+    statistically common symbols (EOB, low-run/low-size); all code lengths
+    ≤ 16 and the table is left prefix-incomplete (all-ones reserved)."""
+    syms = [0x00]  # EOB first (most common)
+    for size in range(1, 11):
+        for run in range(16):
+            syms.append((run << 4) | size)
+    syms.insert(10, 0xF0)  # ZRL among the early symbols
+    # lengths: first 2 symbols 4 bits, then grow; ensures Kraft sum < 1
+    bits = [0] * 16
+    lengths = []
+    for i in range(len(syms)):
+        if i < 2:
+            ln = 4
+        elif i < 6:
+            ln = 6
+        elif i < 14:
+            ln = 8
+        elif i < 30:
+            ln = 10
+        elif i < 62:
+            ln = 12
+        elif i < 126:
+            ln = 14
+        else:
+            ln = 16
+        lengths.append(ln)
+    for ln in lengths:
+        bits[ln - 1] += 1
+    return bits, syms
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical Huffman assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _kraft_ok(bits: list[int]) -> bool:
+    total = 0
+    for length in range(1, 17):
+        total += bits[length - 1] << (16 - length)
+    return total <= (1 << 16)
+
+
+class _PeekTable:
+    """2^16-entry decode table: 16-bit peek → (symbol, code length)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        if sum(bits) != len(vals) or not _kraft_ok(bits):
+            raise ValueError("invalid Huffman table")
+        self.sym = np.zeros(1 << 16, dtype=np.int32) - 1
+        self.length = np.zeros(1 << 16, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                self.sym[lo:hi] = vals[k]
+                self.length[lo:hi] = length
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.buf = ((self.buf << 8) | byte) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.buf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def exhausted_past(self, limit: int) -> bool:
+        return self.pos - (self.nbits // 8) > limit
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) uint8 samples."""
+    spatial = np.einsum("ki,nkl,lj->nij", _DCT, coefs.astype(np.float64),
+                        _DCT, optimize=True)
+    return np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+
+
+# --- decoder -----------------------------------------------------------------
+
+def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``start`` → segments split at restart
+    markers, with 0xFF00 stuffing removed. Returns (segments, end_pos)."""
+    segments: list[bytes] = []
+    out = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segments.append(bytes(out))
+            out = bytearray()
+            i += 2
+        else:  # any other marker ends the scan
+            break
+    segments.append(bytes(out))
+    return segments, i
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W) uint8 luma plane."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _PeekTable] = {}  # (class, id)
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[j:j + 64], dtype=np.uint8)
+                    j += 64
+                else:
+                    vals = np.frombuffer(body[j:j + 128],
+                                         dtype=">u2").astype(np.int64)
+                    j += 128
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ_ROWS, _ZZ_COLS] = vals
+                qtables[tq] = t
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17:j + 17 + nv])
+                htables[(tc, th)] = _PeekTable(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF{marker - 0xC0}); "
+                "baseline sequential only")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return _decode_scan(data, pos + 2 + seglen, body, frame,
+                                qtables, htables, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker (no image data)")
+
+
+def _decode_scan(data, scan_start, sos, frame, qtables, htables,
+                 restart_interval) -> np.ndarray:
+    ns = sos[0]
+    comps = frame["comps"]
+    if ns != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG not supported")
+    sel = {}
+    for i in range(ns):
+        cs, tables = sos[1 + 2 * i], sos[2 + 2 * i]
+        sel[cs] = (tables >> 4, tables & 15)
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    segments, _end = _destuff(data, scan_start)
+    luma = comps[0]
+    ly_blocks = np.zeros((n_mcu * luma["v"] * luma["h"], 8, 8),
+                         dtype=np.int64)
+
+    mcu = 0
+    for seg in segments:
+        br = _BitReader(seg)
+        preds = [0] * len(comps)
+        limit = (min(mcu + restart_interval, n_mcu)
+                 if restart_interval else n_mcu)
+        while mcu < limit:
+            for ci, comp in enumerate(comps):
+                dc_t = htables.get((0, sel[comp["id"]][0]))
+                ac_t = htables.get((1, sel[comp["id"]][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing Huffman table")
+                for b in range(comp["v"] * comp["h"]):
+                    coef = _decode_block(br, dc_t, ac_t, preds, ci)
+                    if ci == 0:
+                        ly_blocks[mcu * luma["v"] * luma["h"] + b] = coef
+            mcu += 1
+            if br.exhausted_past(len(seg) + 4):
+                raise ValueError("JPEG entropy data truncated")
+        if mcu >= n_mcu:
+            break
+    if mcu < n_mcu:
+        raise ValueError("JPEG entropy data truncated (missing MCUs)")
+
+    q = qtables.get(luma["tq"])
+    if q is None:
+        raise ValueError("missing quantization table")
+    pix = _idct_blocks(ly_blocks * q)
+    # assemble: MCU grid of (v, h) luma blocks
+    lv, lh = luma["v"], luma["h"]
+    img = pix.reshape(mcuy, mcux, lv, lh, 8, 8) \
+        .transpose(0, 2, 4, 1, 3, 5) \
+        .reshape(mcuy * lv * 8, mcux * lh * 8)
+    # luma plane covers ceil to its own sampling; crop to frame dims scaled
+    # by luma sampling relative to max (luma is full-res when h=hmax)
+    return np.ascontiguousarray(img[:h, :w])
+
+
+def _decode_block(br: _BitReader, dc_t: _PeekTable, ac_t: _PeekTable,
+                  preds: list[int], ci: int) -> np.ndarray:
+    coef = np.zeros((8, 8), dtype=np.int64)
+    peek = br.peek16()
+    size = int(dc_t.sym[peek])
+    if size < 0:
+        raise ValueError("bad Huffman code (DC)")
+    br.skip(int(dc_t.length[peek]))
+    if size > 11:
+        raise ValueError("bad DC size")
+    diff = _extend(br.read(size), size) if size else 0
+    preds[ci] += diff
+    coef[0, 0] = preds[ci]
+    k = 1
+    while k < 64:
+        peek = br.peek16()
+        sym = int(ac_t.sym[peek])
+        if sym < 0:
+            raise ValueError("bad Huffman code (AC)")
+        br.skip(int(ac_t.length[peek]))
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 15
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        coef[ZIGZAG[k]] = _extend(br.read(size), size)
+        k += 1
+    return coef
+
+
+# --- encoder (grayscale, test/bench input generator) -----------------------
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (_QUANT_BASE * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.buf >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
+    """(H, W) uint8 → baseline single-component JPEG bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray takes a 2-D grayscale array")
+    h, w = arr.shape
+    q = _quant_table(quality)
+    by, bx = -(-h // 8), -(-w // 8)
+    padded = np.empty((by * 8, bx * 8), dtype=np.uint8)
+    padded[:h, :w] = arr
+    padded[h:, :w] = arr[h - 1:h, :]          # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1:w]
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+        .reshape(by * bx, 8, 8).astype(np.float64) - 128.0
+    coefs = np.einsum("ik,nkl,jl->nij", _DCT, blocks, _DCT, optimize=True)
+    qcoef = np.round(coefs / q).astype(np.int64)
+    zz = qcoef[:, _ZZ_ROWS, _ZZ_COLS]  # (n, 64) zigzag order
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_bits, ac_vals = _ac_table_spec()
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    pred = 0
+    for n in range(zz.shape[0]):
+        row = zz[n]
+        diff = int(row[0]) - pred
+        pred = int(row[0])
+        size = diff.bit_length() if diff else 0
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            v = diff if diff > 0 else diff + (1 << size) - 1
+            bw.write(v, size)
+        # AC run-length coding
+        nz = np.nonzero(row[1:])[0]
+        k_prev = 0
+        for idx in nz:
+            run = int(idx) - k_prev
+            k_prev = int(idx) + 1
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            v = int(row[1 + idx])
+            size = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            vv = v if v > 0 else v + (1 << size) - 1
+            bw.write(vv, size)
+        if k_prev < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    entropy = bw.flush()
+
+    zz_q = np.zeros(64, dtype=np.int64)
+    zz_q[:] = q[_ZZ_ROWS, _ZZ_COLS]
+    dqt = bytes([0x00]) + bytes(int(x) for x in zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac) + _seg(0xDA, sos)
+            + entropy + b"\xff\xd9")

@@ -165,6 +165,63 @@ def test_png_truncated_chunk_raises():
         decode_png(data[:len(data) - 6])  # IEND cut mid-chunk
 
 
+# --- corpus assembly ops ----------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_deterministic_split_properties(spark, sf_dir):
+    from norsk_historisk_avis_ocr_spark.operators.corpus import (
+        deterministic_split,
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    full = {r.doc_id: r.split
+            for r in deterministic_split(docs).collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert sum(1 for v in full.values() if v == "train") > len(full) * 0.7
+    # stability: a subset of the corpus gets the identical assignments
+    sub = {r.doc_id: r.split
+           for r in deterministic_split(docs.limit(20)).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(docs, weights=(("a", 0.5), ("b", 0.2)))
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from norsk_historisk_avis_ocr_spark.operators.corpus import (
+        stratified_sample,
+    )
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in
+         stratified_sample(docs, rate=0.2, rates={"en": 0.5}).collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs, rate=0.2, rates={"en": 0.5}).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # raising a stratum's rate only ever ADDS members of that stratum
+    c = {r.doc_id for r in
+         stratified_sample(docs, rate=0.2, rates={"en": 0.9}).collect()}
+    assert a <= c
+    extra_langs = {r.lang for r in docs.filter(
+        F.col("doc_id").isin([x for x in c - a])).collect()}
+    assert extra_langs <= {"en"}
+
+
+def test_pack_sequences_block_semantics(spark, sf_dir):
+    from norsk_historisk_avis_ocr_spark.operators.corpus import pack_sequences
+    rows = pack_sequences(_docs(spark, sf_dir), budget=512).collect()
+    assert rows
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r.source, []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rs:
+            assert r.pack_id == start // 512, (grp, r.doc_id)
+            start += r.n_tokens
+
+
 # --- star CC: truncated run must not pass silently -------------------------
 
 def test_star_cc_warns_when_not_converged(spark):
