@@ -183,7 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reference's engines/_columns.py side-by-side). Pages are
         deterministic synthetic newspaper rasters keyed on doc_id, so the
         corpus scales with sf and every round exercises the full
-        PNG-decode → grayscale → segment path."""
+        PNG-decode → grayscale → segment path. The 80-page limit and
+        repartition(8) are probe bounds for the correctness gate, not
+        pipeline properties — the bench runs this path at 1,024 pages and
+        the operator itself is map-only."""
         _ensure_worker_path(spark)
         from norsk_historisk_avis_ocr_spark.operators.raster import (
             segment_png_pages,

@@ -363,16 +363,19 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3,
     candidate buckets per row instead of 4, i.e. more join fan-out — still
     an equi-join, never all-pairs).
     """
-    sh = simhash_values(docs)
-    parts = []
-    for c, (shift, width) in enumerate(simhash_chunk_spans(chunks)):
-        parts.append(sh.select(
-            "doc_id", "simhash", F.lit(c).alias("chunk"),
-            F.shiftright("simhash", shift)
-             .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val")))
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionAll(p)
+    # one derivation of the simhash subtree total: the chunk keys ride a
+    # posexplode (the union-of-selects formulation re-derives the full
+    # explode+56-bit-aggregation subtree once per chunk per join side —
+    # 58 Exchanges at chunks=7), and the signature is lazily checkpointed
+    # so the self-join's two sides share the materialization (a signature
+    # TABLE at 10^12-row scale, same trade as minhash_lsh_pairs).
+    sh = simhash_values(docs).localCheckpoint(eager=False)
+    chunk_vals = [
+        F.shiftright("simhash", shift).bitwiseAND(F.lit((1 << width) - 1))
+        for shift, width in simhash_chunk_spans(chunks)]
+    keyed = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*chunk_vals)).alias("chunk", "chunk_val"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     cand = a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &

@@ -427,8 +427,14 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
-    """(H, W) uint8 → baseline single-component JPEG bytes."""
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
+                     restart_interval: int = 0) -> bytes:
+    """(H, W) uint8 → baseline single-component JPEG bytes.
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RST markers
+    every that many MCUs (resetting the DC predictor) — real-world scans
+    use restart intervals for error resilience, and this exercises the
+    decoder's restart path."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 2:
         raise ValueError("encode_jpeg_gray takes a 2-D grayscale array")
@@ -450,8 +456,15 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
     ac_codes = _canonical_codes(ac_bits, ac_vals)
 
     bw = _BitWriter()
+    entropy_parts: list[bytes] = []
     pred = 0
     for n in range(zz.shape[0]):
+        if restart_interval and n and n % restart_interval == 0:
+            entropy_parts.append(bw.flush())
+            entropy_parts.append(bytes([0xFF, 0xD0 + ((n // restart_interval
+                                                       - 1) % 8)]))
+            bw = _BitWriter()
+            pred = 0
         row = zz[n]
         diff = int(row[0]) - pred
         pred = int(row[0])
@@ -480,7 +493,8 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
         if k_prev < 63:
             code, ln = ac_codes[0x00]  # EOB
             bw.write(code, ln)
-    entropy = bw.flush()
+    entropy_parts.append(bw.flush())
+    entropy = b"".join(entropy_parts)
 
     zz_q = np.zeros(64, dtype=np.int64)
     zz_q[:] = q[_ZZ_ROWS, _ZZ_COLS]
@@ -489,6 +503,8 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
-    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof) + dri
             + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac) + _seg(0xDA, sos)
             + entropy + b"\xff\xd9")

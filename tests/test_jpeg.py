@@ -66,6 +66,19 @@ def test_non_multiple_of_8_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 16
 
 
+def test_restart_markers_roundtrip():
+    """DRI/RSTn path: same pixels with and without restart intervals, and
+    the markers actually appear in the stream."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 64), dtype=np.int32) \
+        .astype(np.uint8)
+    plain = encode_jpeg_gray(img, quality=90)
+    rst = encode_jpeg_gray(img, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert b"\xff\xdd" not in plain
+    assert (decode_jpeg_gray(rst) == decode_jpeg_gray(plain)).all()
+
+
 def test_rejects_progressive_and_garbage():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg_gray(img))

@@ -123,6 +123,40 @@ def test_ngram_jaccard_capped_shares_shingle_subtree(spark, sf_dir):
     assert plan.count("Exchange") <= 14, plan.count("Exchange")
 
 
+def test_simhash_pairs_share_signature_subtree(spark, sf_dir):
+    """Round-3 fix: chunk keys ride a posexplode over the checkpointed
+    signature — the union-of-selects formulation re-derived the full
+    simhash subtree per chunk per join side (58 Exchanges at chunks=7)."""
+    from norsk_historisk_avis_ocr_spark.operators.dedup import (
+        simhash_dup_pairs,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(simhash_dup_pairs(docs, max_hamming=6, chunks=7))
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_corpus_split_and_sample_are_shuffle_free(spark, sf_dir):
+    """Split assignment and stratified sampling are hash arithmetic in the
+    scan projection — at 100 TB they must cost scan time only."""
+    from norsk_historisk_avis_ocr_spark.operators.corpus import (
+        deterministic_split, stratified_sample,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert "Exchange" not in _plan(deterministic_split(docs.select("doc_id")))
+    assert "Exchange" not in _plan(
+        stratified_sample(docs, rate=0.2, rates={"en": 0.5}))
+
+
+def test_pack_sequences_single_exchange_on_group(spark, sf_dir):
+    """Packing is one window per source shard: exactly one shuffle, keyed
+    on the group column — parallelism follows shard count, not rows."""
+    from norsk_historisk_avis_ocr_spark.operators.corpus import pack_sequences
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(pack_sequences(docs, budget=512))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, pages_parquet, tmp_path):
     """Bucketing both sides on the join key removes the shuffle entirely
     (co-located join): the resume anti-join pattern at warehouse scale."""

@@ -222,6 +222,31 @@ def test_pack_sequences_block_semantics(spark, sf_dir):
             start += r.n_tokens
 
 
+def test_prepare_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
+    """spark-submit-shaped corpus job: documents in → split-partitioned
+    packed corpus out, with hygiene verdicts attached."""
+    import jobs.prepare_corpus as job
+    out = str(tmp_path / "corpus")
+    job.main(["--input", os.path.join(sf_dir, "documents.parquet"),
+              "--output", out, "--langs", "en", "--min-quality", "0.4",
+              "--budget", "512", "--master", "local[4]"])
+    got = spark.read.parquet(out)
+    assert set(got.select("split").distinct().toPandas()["split"]) \
+        <= {"train", "val", "test"}
+    rows = got.collect()
+    assert rows and all(r.pred_lang == "en" and r.quality >= 0.4
+                        and r.pack_id >= 0 for r in rows)
+    # deterministic: a second run commits the identical corpus
+    out2 = str(tmp_path / "corpus2")
+    job.main(["--input", os.path.join(sf_dir, "documents.parquet"),
+              "--output", out2, "--langs", "en", "--min-quality", "0.4",
+              "--budget", "512", "--master", "local[4]"])
+    a = sorted((r.doc_id, r.split, r.pack_id) for r in rows)
+    b = sorted((r.doc_id, r.split, r.pack_id)
+               for r in spark.read.parquet(out2).collect())
+    assert a == b
+
+
 # --- star CC: truncated run must not pass silently -------------------------
 
 def test_star_cc_warns_when_not_converged(spark):
