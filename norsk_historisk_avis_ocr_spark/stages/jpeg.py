@@ -128,69 +128,35 @@ def _kraft_ok(bits: list[int]) -> bool:
 
 
 class _PeekTable:
-    """2^16-entry decode table: 16-bit peek → (symbol, code length)."""
+    """2^16-entry decode table: 16-bit peek → symbol*32 + code length,
+    one plain-list lookup per symbol (list indexing beats numpy scalar
+    indexing ~5× in the per-symbol loop)."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         if sum(bits) != len(vals) or not _kraft_ok(bits):
             raise ValueError("invalid Huffman table")
-        self.sym = np.zeros(1 << 16, dtype=np.int32) - 1
-        self.length = np.zeros(1 << 16, dtype=np.int32)
+        entry = np.zeros(1 << 16, dtype=np.int32) - 32  # invalid: sym -1
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
                 hi = lo + (1 << (16 - length))
-                self.sym[lo:hi] = vals[k]
-                self.length[lo:hi] = length
+                entry[lo:hi] = vals[k] * 32 + length
                 code += 1
                 k += 1
             code <<= 1
+        self.entry = entry.tolist()
 
 
-class _BitReader:
-    """MSB-first bit reader over destuffed entropy bytes."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            byte = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.buf = ((self.buf << 8) | byte) & 0xFFFFFFFFFF
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.buf >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.buf >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        return v
-
-    def exhausted_past(self, limit: int) -> bool:
-        return self.pos - (self.nbits // 8) > limit
-
-
-def _extend(v: int, size: int) -> int:
-    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+_ZZ_FLAT = [r * 8 + c for r, c in ZIGZAG]  # zigzag pos → flat block index
 
 
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) dequantized coefficients → (n, 8, 8) uint8 samples."""
-    spatial = np.einsum("ki,nkl,lj->nij", _DCT, coefs.astype(np.float64),
-                        _DCT, optimize=True)
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) uint8 samples.
+    X = Tᵀ·C·T as two broadcast matmuls (batched BLAS — ~40× faster than
+    the einsum/tensordot formulation on 25k-block pages)."""
+    spatial = _DCT.T @ (coefs.astype(np.float64) @ _DCT)
     return np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
 
 
@@ -198,26 +164,30 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
 
 def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded bytes from ``start`` → segments split at restart
-    markers, with 0xFF00 stuffing removed. Returns (segments, end_pos)."""
+    markers, with 0xFF00 stuffing removed. Returns (segments, end_pos).
+    Chunks between 0xFF sentinels are copied by slice (one iteration per
+    0xFF occurrence, not per byte — ~1/170 bytes in a stuffed stream)."""
     segments: list[bytes] = []
     out = bytearray()
     i = start
     n = len(data)
     while i < n:
-        b = data[i]
-        if b != 0xFF:
-            out.append(b)
-            i += 1
-            continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
+        j = data.find(0xFF, i)
+        if j < 0:
+            out += data[i:]
+            i = n
+            break
+        out += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:
             out.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= nxt <= 0xD7:  # restart marker
             segments.append(bytes(out))
             out = bytearray()
-            i += 2
+            i = j + 2
         else:  # any other marker ends the scan
+            i = j
             break
     segments.append(bytes(out))
     return segments, i
@@ -314,28 +284,22 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
 
     segments, _end = _destuff(data, scan_start)
     luma = comps[0]
-    ly_blocks = np.zeros((n_mcu * luma["v"] * luma["h"], 8, 8),
-                         dtype=np.int64)
+    # per-component decode plan: (dc entry list, ac entry list, blocks/MCU,
+    # keep) — resolved once so the inner loop is pure local-variable work
+    plan = []
+    for ci, comp in enumerate(comps):
+        dc_t = htables.get((0, sel[comp["id"]][0]))
+        ac_t = htables.get((1, sel[comp["id"]][1]))
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing Huffman table")
+        plan.append((dc_t.entry, ac_t.entry, comp["v"] * comp["h"], ci == 0))
 
+    luma_blocks: list[list[int]] = []
     mcu = 0
     for seg in segments:
-        br = _BitReader(seg)
-        preds = [0] * len(comps)
         limit = (min(mcu + restart_interval, n_mcu)
                  if restart_interval else n_mcu)
-        while mcu < limit:
-            for ci, comp in enumerate(comps):
-                dc_t = htables.get((0, sel[comp["id"]][0]))
-                ac_t = htables.get((1, sel[comp["id"]][1]))
-                if dc_t is None or ac_t is None:
-                    raise ValueError("missing Huffman table")
-                for b in range(comp["v"] * comp["h"]):
-                    coef = _decode_block(br, dc_t, ac_t, preds, ci)
-                    if ci == 0:
-                        ly_blocks[mcu * luma["v"] * luma["h"] + b] = coef
-            mcu += 1
-            if br.exhausted_past(len(seg) + 4):
-                raise ValueError("JPEG entropy data truncated")
+        mcu = _decode_mcus(seg, plan, luma_blocks, mcu, limit)
         if mcu >= n_mcu:
             break
     if mcu < n_mcu:
@@ -344,6 +308,7 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     q = qtables.get(luma["tq"])
     if q is None:
         raise ValueError("missing quantization table")
+    ly_blocks = np.array(luma_blocks, dtype=np.int64).reshape(-1, 8, 8)
     pix = _idct_blocks(ly_blocks * q)
     # assemble: MCU grid of (v, h) luma blocks
     lv, lh = luma["v"], luma["h"]
@@ -355,38 +320,81 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     return np.ascontiguousarray(img[:h, :w])
 
 
-def _decode_block(br: _BitReader, dc_t: _PeekTable, ac_t: _PeekTable,
-                  preds: list[int], ci: int) -> np.ndarray:
-    coef = np.zeros((8, 8), dtype=np.int64)
-    peek = br.peek16()
-    size = int(dc_t.sym[peek])
-    if size < 0:
-        raise ValueError("bad Huffman code (DC)")
-    br.skip(int(dc_t.length[peek]))
-    if size > 11:
-        raise ValueError("bad DC size")
-    diff = _extend(br.read(size), size) if size else 0
-    preds[ci] += diff
-    coef[0, 0] = preds[ci]
-    k = 1
-    while k < 64:
-        peek = br.peek16()
-        sym = int(ac_t.sym[peek])
-        if sym < 0:
-            raise ValueError("bad Huffman code (AC)")
-        br.skip(int(ac_t.length[peek]))
-        if sym == 0x00:  # EOB
-            break
-        if sym == 0xF0:  # ZRL
-            k += 16
-            continue
-        run, size = sym >> 4, sym & 15
-        k += run
-        if k > 63:
-            raise ValueError("AC run overflows block")
-        coef[ZIGZAG[k]] = _extend(br.read(size), size)
-        k += 1
-    return coef
+def _decode_mcus(seg: bytes, plan, luma_blocks: list, mcu: int,
+                 limit: int) -> int:
+    """Entropy-decode MCUs ``mcu..limit`` of one restart segment. The bit
+    cursor lives in local ints (no per-symbol method calls — this loop is
+    the decoder's Python-side cost); luma coefficient blocks (flat 64-lists
+    in natural order) are appended to ``luma_blocks``, chroma blocks are
+    decoded for stream sync and discarded."""
+    zz = _ZZ_FLAT
+    n = len(seg)
+    buf = nbits = pos = 0
+    preds = [0] * len(plan)
+    while mcu < limit:
+        for ci, (dce, ace, nb, keep) in enumerate(plan):
+            for _b in range(nb):
+                coef = [0] * 64
+                while nbits < 16:
+                    buf = ((buf << 8)
+                           | (seg[pos] if pos < n else 0)) & 0xFFFFFFFFFF
+                    pos += 1
+                    nbits += 8
+                e = dce[(buf >> (nbits - 16)) & 0xFFFF]
+                if e < 0:
+                    raise ValueError("bad Huffman code (DC)")
+                nbits -= e & 31
+                size = e >> 5
+                if size > 11:
+                    raise ValueError("bad DC size")
+                if size:
+                    while nbits < size:
+                        buf = ((buf << 8)
+                               | (seg[pos] if pos < n else 0)) & 0xFFFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    v = (buf >> (nbits - size)) & ((1 << size) - 1)
+                    nbits -= size
+                    preds[ci] += (v - (1 << size) + 1
+                                  if v < (1 << (size - 1)) else v)
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    while nbits < 16:
+                        buf = ((buf << 8)
+                               | (seg[pos] if pos < n else 0)) & 0xFFFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    e = ace[(buf >> (nbits - 16)) & 0xFFFF]
+                    if e < 0:
+                        raise ValueError("bad Huffman code (AC)")
+                    nbits -= e & 31
+                    sym = e >> 5
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 15
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    while nbits < size:
+                        buf = ((buf << 8)
+                               | (seg[pos] if pos < n else 0)) & 0xFFFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    v = (buf >> (nbits - size)) & ((1 << size) - 1)
+                    nbits -= size
+                    coef[zz[k]] = (v - (1 << size) + 1
+                                   if v < (1 << (size - 1)) else v)
+                    k += 1
+                if keep:
+                    luma_blocks.append(coef)
+        mcu += 1
+        if pos - (nbits >> 3) > n + 4:
+            raise ValueError("JPEG entropy data truncated")
+    return mcu
 
 
 # --- encoder (grayscale, test/bench input generator) -----------------------
@@ -447,7 +455,7 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
     padded[:, w:] = padded[:, w - 1:w]
     blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
         .reshape(by * bx, 8, 8).astype(np.float64) - 128.0
-    coefs = np.einsum("ik,nkl,jl->nij", _DCT, blocks, _DCT, optimize=True)
+    coefs = _DCT @ blocks @ _DCT.T  # C = T·X·Tᵀ, batched matmul
     qcoef = np.round(coefs / q).astype(np.int64)
     zz = qcoef[:, _ZZ_ROWS, _ZZ_COLS]  # (n, 64) zigzag order
 
