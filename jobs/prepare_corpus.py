@@ -83,18 +83,21 @@ def main(argv=None):
             surviving,
             weights=(("train", args.train), ("val", args.val),
                      ("test", args.test)))
-        packs = pack_sequences(surviving, budget=args.budget,
-                               group_col=args.group_col) \
+        # pack WITHIN (split, shard): a context block must never span
+        # splits — a loader reading one split shard needs dense blocks and
+        # zero leakage of other-split token ranges
+        packs = pack_sequences(split, budget=args.budget,
+                               group_col=["split", args.group_col]) \
             .select("doc_id", "n_tokens", "pack_id")
         final = split.join(packs, "doc_id")
 
         final.write.mode("overwrite").partitionBy("split") \
             .parquet(args.output)
-        counts = {r["split"]: r["n"] for r in
-                  spark.read.parquet(args.output)
-                  .groupBy("split").agg(F.count("*").alias("n")).collect()}
-        total_tokens = spark.read.parquet(args.output) \
-            .agg(F.sum("n_tokens")).first()[0]
+        stats = spark.read.parquet(args.output).groupBy("split").agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("toks")) \
+            .collect()
+        counts = {r["split"]: r["n"] for r in stats}
+        total_tokens = sum(r["toks"] for r in stats)
         print(f"corpus committed to {args.output}: "
               f"{sum(counts.values())} docs, {total_tokens} tokens, "
               f"splits {counts}")

@@ -78,7 +78,7 @@ def stratified_sample(docs: DataFrame, rate: float = 0.2,
 
 
 def pack_sequences(docs: DataFrame, budget: int = 512,
-                   group_col: str = "source") -> DataFrame:
+                   group_col: str | list[str] = "source") -> DataFrame:
     """Token-budget sequence packing, block-style: within each group,
     documents are concatenated in ``doc_id`` order and chunked into
     ``budget``-token context blocks; a document's ``pack_id`` is the block
@@ -90,13 +90,18 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     ``group_col`` (crawl/source shard), so parallelism follows the number
     of shards, not corpus size; a skewed mega-shard should be pre-split
     upstream (the same discipline any per-shard sequential pass needs).
+
+    ``group_col`` may be a list — packing after a train/val/test split
+    MUST include the split column (e.g. ``["split", "source"]``) so no
+    context block ever spans splits.
     """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     d = docs.select(
-        "doc_id", F.col(group_col),
+        "doc_id", *[F.col(g) for g in groups],
         token_count(F.col("text")).cast("long").alias("n_tokens"))
-    win = Window.partitionBy(group_col).orderBy("doc_id") \
+    win = Window.partitionBy(*groups).orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
     return d.select(
-        "doc_id", group_col, "n_tokens",
+        "doc_id", *groups, "n_tokens",
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"))

@@ -49,19 +49,36 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     points = points.localCheckpoint(eager=False)
 
-    first = points.orderBy("vec_id").limit(1).collect()
-    if not first:  # empty input → empty assignment
+    seed_rows = points.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:  # empty input → empty assignment
         return points.select(
             "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
-    dim = len(first[0].v)
+    # dim = majority length among the k seed candidates — anchoring to the
+    # single lowest-vec_id row would let ONE malformed short vector
+    # silently drop the whole corpus as "ragged"; majority voting makes a
+    # lone bad row the outlier instead. Ties break toward the earliest
+    # vec_id's length (deterministic).
+    counts: dict[int, int] = {}
+    first_at: dict[int, int] = {}
+    for i, r in enumerate(seed_rows):
+        length = len(r.v)
+        counts[length] = counts.get(length, 0) + 1
+        first_at.setdefault(length, i)
+    dim = max(counts, key=lambda length: (counts[length], -first_at[length]))
     # ragged guard: a vector shorter than dim would make v[i] NULL, poison
     # the per-dim avg, and crash float(None) on the driver mid-iteration —
     # rows of the wrong length carry no comparable geometry, so they get no
     # (vec_id, cell) row (same contract as null embeddings above)
     points = points.filter(F.size("v") == dim)
-    seeds = points.orderBy("vec_id").limit(k).collect()
+    if len(counts) > 1:
+        # rare corrupt-input path: some candidate seeds were ragged —
+        # re-collect so seeds are the k smallest VALID vec_ids
+        seed_rows = points.orderBy("vec_id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
-        (int(r.vec_id), [float(x) for x in r.v]) for r in seeds]
+        (int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows]
+    if not cents:
+        return points.select(
+            "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
 
     def assign(cent_list):
         # argmin over a centroid literal: struct ordering gives

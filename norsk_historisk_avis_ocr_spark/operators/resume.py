@@ -41,7 +41,10 @@ class _LineageAccParam(AccumulatorParam):
         return a
 
 
-LINEAGE_SCHEMA = ("partition_id int, n_urls long, bytes_in long, "
+# partition_id is LONG: the pre-accumulator lineage writer inferred int64
+# from collected Python ints, and parquet appends to an existing lineage
+# dir must not mix INT32 files into an INT64 column
+LINEAGE_SCHEMA = ("partition_id long, n_urls long, bytes_in long, "
                   "n_blocks long, n_mastheads long")
 
 

@@ -275,6 +275,10 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     for i in range(ns):
         cs, tables = sos[1 + 2 * i], sos[2 + 2 * i]
         sel[cs] = (tables >> 4, tables & 15)
+    for comp in comps:
+        if comp["id"] not in sel:  # corrupt header: must quarantine as
+            raise ValueError(      # ValueError, not escape as KeyError
+                f"SOS selector missing frame component {comp['id']}")
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -392,7 +396,12 @@ def _decode_mcus(seg: bytes, plan, luma_blocks: list, mcu: int,
                 if keep:
                     luma_blocks.append(coef)
         mcu += 1
-        if pos - (nbits >> 3) > n + 4:
+        # exact loud-failure guard: consumed bits = pos*8 − nbits. The
+        # peek may OVERFETCH past the stream end (zero fill), but if any
+        # zero-fill bit was actually CONSUMED as data, the stream was
+        # truncated and the block just decoded is garbage — raise instead
+        # of returning silently wrong pixels (same contract as PNG CRCs).
+        if (pos << 3) - nbits > (n << 3):
             raise ValueError("JPEG entropy data truncated")
     return mcu
 

@@ -94,6 +94,35 @@ def test_rejects_progressive_and_garbage():
         decode_jpeg_gray(encode_jpeg_gray(img)[:40])  # truncated
 
 
+def test_truncated_entropy_raises_not_silent():
+    """Stripping entropy bytes just before EOI must raise, never return
+    silently wrong pixels (loud-failure contract, same as PNG CRCs)."""
+    img = _gradient(64, 64)
+    data = encode_jpeg_gray(img, quality=90)
+    assert data.endswith(b"\xff\xd9")
+    for cut in (1, 2, 3, 6):
+        broken = data[:-2 - cut] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg_gray(broken)
+
+
+def test_sos_component_mismatch_is_valueerror():
+    """A SOS selector id that doesn't match the SOF component id must be a
+    ValueError (the quarantine contract), not a KeyError escaping the
+    task; decode_media must degrade to the stub."""
+    data = bytearray(encode_jpeg_gray(_gradient(16, 16)))
+    sos = bytes(data).index(b"\xff\xda")
+    assert data[sos + 5] == 1  # component selector byte
+    data[sos + 5] = 9
+    with pytest.raises(ValueError, match="SOS selector"):
+        decode_jpeg_gray(bytes(data))
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media,
+    )
+    meta = decode_media(bytes(data))  # stub fallback, not a crash
+    assert meta["width"] >= 256 and len(meta["features"]) == 16
+
+
 def test_jpeg_media_decode_is_real():
     """decode_media on a JPEG payload now reports TRUE dimensions (round-2
     VERDICT item: the last stubbed reference-native format)."""

@@ -117,6 +117,17 @@ def test_kmeans_ragged_vectors_excluded(spark):
     assert all(r.cell is not None for r in got)
 
 
+def test_kmeans_short_first_vector_not_anchor(spark):
+    """A malformed SHORT vector at the lowest vec_id must be the outlier
+    (majority dim wins), not silently drop the whole corpus as ragged."""
+    rows = [(0, [9.0])] + [(i, [float(i), 1.0, 2.0]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_assign(df, k=3, iters=3).collect()
+    assert {r.vec_id for r in got} == set(range(1, 8))
+    # seeds re-collected from the valid rows: cells are valid vec_ids
+    assert {r.cell for r in got} <= set(range(1, 8))
+
+
 def test_kmeans_quantize_deterministic(spark, sf_dir):
     a = sorted((r.vec_id, r.cell) for r in
                kmeans_assign(_emb(spark, sf_dir), k=4, iters=3,
@@ -236,6 +247,17 @@ def test_prepare_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
     rows = got.collect()
     assert rows and all(r.pred_lang == "en" and r.quality >= 0.4
                         and r.pack_id >= 0 for r in rows)
+    # split hygiene: no context block spans splits — pack ids are dense
+    # per (split, source) starting at 0
+    by = {}
+    for r in rows:
+        by.setdefault((r.split, r.source), []).append(r)
+    for (_s, _src), rs in by.items():
+        rs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rs:
+            assert r.pack_id == start // 512, (_s, _src, r.doc_id)
+            start += r.n_tokens
     # deterministic: a second run commits the identical corpus
     out2 = str(tmp_path / "corpus2")
     job.main(["--input", os.path.join(sf_dir, "documents.parquet"),
