@@ -246,8 +246,13 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    # spec range; 0 would divide-by-zero the MCU grid
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            if w == 0 or h == 0 or ncomp == 0:
+                raise ValueError("empty JPEG frame")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

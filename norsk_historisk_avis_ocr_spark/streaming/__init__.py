@@ -70,6 +70,42 @@ def run_incremental(spark: SparkSession, in_path: str, out_path: str,
         q.awaitTermination()
 
 
+def run_incremental_dedup(spark: SparkSession, in_path: str, out_path: str,
+                          checkpoint_path: str,
+                          watermark_delay: str | None = None) -> None:
+    """Streaming exact dedup (keep-first) over a growing pages directory:
+    the first page seen with a given text hash is committed, every later
+    duplicate — in the same micro-batch, a later batch, or a later RUN —
+    is dropped, because the dedup state lives in the checkpoint.
+
+    This is the streaming analog of ``dedup.dedup_keep_first``: a crawl
+    that continuously lands page files gets a deduplicated corpus without
+    re-scanning committed output (the batch anti-join shape) — the state
+    store IS the done-set.
+
+    State shape at 10^12 rows: exact streaming dedup keeps one state row
+    per distinct key forever — unbounded. Pass ``watermark_delay`` (e.g.
+    ``"7 days"``) to bound it: duplicates are then only suppressed within
+    the watermark horizon on ``warc_ts``
+    (``dropDuplicatesWithinWatermark``), the standard
+    bounded-state/bounded-guarantee trade for infinite streams; near-dup
+    and exact batch jobs downstream catch strays beyond the horizon.
+    """
+    pages = read_pages_stream(spark, in_path) \
+        .withColumn("text_md5", F.md5(F.col("text")))
+    if watermark_delay is not None:
+        deduped = pages.withWatermark("warc_ts", watermark_delay) \
+            .dropDuplicatesWithinWatermark(["text_md5"])
+    else:
+        deduped = pages.dropDuplicates(["text_md5"])
+    q = deduped.drop("text_md5").writeStream.format("parquet") \
+        .option("path", out_path) \
+        .option("checkpointLocation", checkpoint_path) \
+        .trigger(availableNow=True) \
+        .start()
+    q.awaitTermination()
+
+
 EVENTS_DDL = ("event_id long, ts timestamp_ntz, user_id long, "
               "event_type string, value double, props string")
 

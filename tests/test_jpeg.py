@@ -2,6 +2,8 @@
 non-baseline streams, and the raster-leg parity from encoded bytes to
 geometry (the reference's input class, ``tesseract_engine.py:143-144``)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -121,6 +123,55 @@ def test_sos_component_mismatch_is_valueerror():
     )
     meta = decode_media(bytes(data))  # stub fallback, not a crash
     assert meta["width"] >= 256 and len(meta["features"]) == 16
+
+
+def test_jpeg_roundtrip_properties_hypothesis():
+    """Property fuzz across shapes/qualities/restart intervals: decode
+    never crashes on our own encoder's output, preserves shape, and at
+    q=100 stays within DCT-rounding error of the input."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([35, 75, 100]), st.sampled_from([0, 2, 7]),
+           st.integers(0, 2 ** 32 - 1))
+    def prop(h, w, quality, rst, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.int32) \
+            .astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img, quality=quality,
+                                                restart_interval=rst))
+        assert out.shape == img.shape
+        if quality == 100:
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 16
+
+    prop()
+
+
+def test_jpeg_corrupt_bytes_never_silent_hypothesis():
+    """Bit-flip / truncation fuzz: the decoder either raises ValueError or
+    returns a correctly-shaped image — never crashes with an unexpected
+    exception type (the quarantine catch contract)."""
+    from hypothesis import given, settings, strategies as st
+
+    base = encode_jpeg_gray(_gradient(24, 24), quality=80)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(2, len(base) - 1), st.integers(0, 7),
+           st.booleans())
+    def prop(pos, bit, truncate):
+        data = bytearray(base)
+        if truncate:
+            data = data[:pos]
+        else:
+            data[pos] ^= 1 << bit
+        try:
+            out = decode_jpeg_gray(bytes(data))
+            assert out.shape == (24, 24)
+        except (ValueError, struct.error, IndexError):
+            pass  # the exceptions decode_media quarantines
+
+    prop()
 
 
 def test_jpeg_media_decode_is_real():

@@ -162,3 +162,51 @@ def test_incremental_matches_batch_and_resumes(spark, sf_dir, tmp_path):
     assert a == b
     pages.unpersist()
     assert os.path.isdir(ckpt)
+
+
+def test_incremental_dedup_across_runs(spark, sf_dir, tmp_path):
+    """Streaming keep-first dedup: duplicates are suppressed within a
+    batch, across micro-batches, and across RUNS (checkpointed state is
+    the done-set); a fresh text in a later run still lands."""
+    from norsk_historisk_avis_ocr_spark.streaming import run_incremental_dedup
+
+    in_path = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    base = pages_df(spark, sf_dir).limit(10).cache()
+    base.write.mode("append").parquet(in_path)          # originals
+    base.limit(4).withColumn("url", F.concat(F.col("url"), F.lit("#dup"))) \
+        .write.mode("append").parquet(in_path)          # in-run duplicates
+    run_incremental_dedup(spark, in_path, out, ckpt)
+    assert spark.read.parquet(out).count() == 10
+
+    # later run: more duplicates of committed texts + 2 genuinely new ones
+    base.limit(6).withColumn("url", F.concat(F.col("url"), F.lit("#dup2"))) \
+        .write.mode("append").parquet(in_path)
+    fresh = pages_df(spark, sf_dir).orderBy(F.desc("url")).limit(2)
+    fresh.write.mode("append").parquet(in_path)
+    run_incremental_dedup(spark, in_path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert got.select(F.md5("text")).distinct().count() == 12
+    base.unpersist()
+
+
+def test_incremental_dedup_watermark_variant(spark, sf_dir, tmp_path):
+    """Bounded-state variant: dropDuplicatesWithinWatermark on warc_ts
+    still deduplicates the backlog (all synthetic timestamps are within
+    the horizon)."""
+    from norsk_historisk_avis_ocr_spark.streaming import run_incremental_dedup
+
+    in_path = str(tmp_path / "ddw_in")
+    out = str(tmp_path / "ddw_out")
+    ckpt = str(tmp_path / "ddw_ckpt")
+
+    base = pages_df(spark, sf_dir).limit(8)
+    base.write.mode("append").parquet(in_path)
+    base.withColumn("url", F.concat(F.col("url"), F.lit("#dup"))) \
+        .write.mode("append").parquet(in_path)
+    run_incremental_dedup(spark, in_path, out, ckpt,
+                          watermark_delay="3650 days")
+    assert spark.read.parquet(out).count() == 8
