@@ -187,6 +187,64 @@ def frame_samples(df: DataFrame, every_ms: int = 1000,
         .mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+VISION_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("payload_b64", StringType(), True),
+    StructField("media_type", StringType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("quality", IntegerType(), True),
+    StructField("n_attempts", IntegerType(), True),
+    StructField("prep_error", StringType(), True),
+])
+
+
+def vision_payloads(df: DataFrame, url_col: str = "url",
+                    bytes_col: str = "png",
+                    max_bytes: int | None = None) -> DataFrame:
+    """X3 as a DataFrame operator: decode each page payload (PNG/JPEG),
+    run the reference's sharpen+contrast prep, and JPEG-encode under the
+    vision API's byte budget with its quality/downscale schedule
+    (``stages/visionprep.py``, mirroring
+    ``claude_vision_engine.py:98-127``). The network call itself (X2)
+    stays out of scope; this materializes exactly what that call would
+    ship. Map-only; undecodable payloads yield a prep_error row."""
+    from ..stages.visionprep import MAX_IMAGE_BYTES
+    budget = max_bytes if max_bytes is not None else MAX_IMAGE_BYTES
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..stages.jpeg import decode_jpeg_gray
+        from ..stages.png import decode_png, to_grayscale
+        from ..stages.visionprep import encode_image_under_limit
+
+        for pdf in batches:
+            rows = []
+            for u, data in zip(pdf[url_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                try:
+                    if data.startswith(b"\xff\xd8\xff"):
+                        gray = decode_jpeg_gray(data)
+                    else:
+                        gray = to_grayscale(decode_png(data))
+                    out = encode_image_under_limit(gray, max_bytes=budget)
+                    rows.append({"url": u, **out, "prep_error": None})
+                except (ValueError, struct.error, zlib.error,
+                        IndexError) as exc:
+                    rows.append({
+                        "url": u, "payload_b64": None, "media_type": None,
+                        "n_bytes": None, "width": None, "height": None,
+                        "quality": None, "n_attempts": None,
+                        "prep_error": f"{type(exc).__name__}: {exc}",
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(url_col), F.col(bytes_col)) \
+        .mapInPandas(fn, schema=VISION_SCHEMA)
+
+
 def media_features(df: DataFrame, url_col: str = "url",
                    bytes_col: str = "html") -> DataFrame:
     """binary column → typed media metadata + feature vector, batched."""
