@@ -100,10 +100,9 @@ class OrthographyNormalizer:
         # parts alternates token, sep, token, ... (possibly empty edges)
         tokens = parts[0::2]
         seps = parts[1::2]  # sep[i] follows token[i]
-        cores = []
-        for tok in tokens:
-            _, core, _ = self._split_token(tok)
-            cores.append(core.lower())
+        # str.strip(chars) == _split_token's core extraction, at C speed —
+        # the full (pre, core, post) split is only needed on actual matches
+        cores = [tok.strip(_PUNCT).lower() for tok in tokens]
 
         out: list[str] = []
         i = 0
