@@ -350,6 +350,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return flags.agg(F.sum("n").alias("n_checked"),
                          F.sum("bad").alias("n_mismatch"))
 
+    def vision_payloads_verified(spark, sf):
+        """Self-verifying row for the X3 prep/encode budget loop
+        (``stages/visionprep.py``): run ``vision_payloads`` over small
+        synthetic pages with a tight byte budget (forcing the quality
+        ladder + downscale schedule), then — in the verify UDF — decode
+        each emitted base64 JPEG with the in-tree decoder and check it
+        fits the budget, has the reported dimensions, and downscaled
+        monotonically. (n_checked, n_mismatch) vs a constant oracle."""
+        _ensure_worker_path(spark)
+
+        def gen(batches):
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.sources.rasters import (
+                synth_page_array,
+            )
+            from norsk_historisk_avis_ocr_spark.stages.png import encode_png
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    pid = f"vp-{int(doc_id)}"
+                    arr = synth_page_array(pid, width=400, height=300)
+                    rows.append({"page_id": pid, "png": encode_png(arr)})
+                yield pd.DataFrame(rows)
+
+        ids = _t(spark, sf, "documents").select("doc_id") \
+            .orderBy("doc_id").limit(12).repartition(4, "doc_id")
+        pages = ids.mapInPandas(gen, schema="page_id string, png binary")
+        payloads = mm.vision_payloads(pages, url_col="page_id",
+                                      max_bytes=30000)
+
+        def vfn(batches):
+            import base64
+
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+                decode_jpeg_gray,
+            )
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    n += 1
+                    if row.prep_error is not None:
+                        bad += 1
+                        continue
+                    data = base64.standard_b64decode(row.payload_b64)
+                    decoded = decode_jpeg_gray(data)
+                    ok = (len(data) <= 30000
+                          and len(data) == row.n_bytes
+                          and decoded.shape == (row.height, row.width)
+                          and row.width <= 400 and row.height <= 300
+                          and row.media_type == "image/jpeg"
+                          and 1 <= row.quality <= 95
+                          and row.n_attempts >= 1)
+                    if not ok:
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = payloads.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
         "extract_pipeline": extract_pipeline,
@@ -359,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verified": extract_verified,
         "raster_verified": raster_verified,
         "raster_verified_jpeg": raster_verified_jpeg,
+        "vision_payloads_verified": vision_payloads_verified,
         # -- window-shaped W1-W4 + friends ---------------------------------
         "w1_runlength_islands":
             lambda s, sf: w.runlength_islands(_t(s, sf, "events")),
@@ -753,6 +817,10 @@ FROM documents
 """,
         "raster_verified_jpeg": """
 SELECT LEAST(COUNT(*), 16) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+        "vision_payloads_verified": """
+SELECT LEAST(COUNT(*), 12) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
 """,
         "w1_runlength_islands": _ISLANDS_CTE + """
