@@ -65,6 +65,70 @@ def size_bucketed_repartition(pages: DataFrame, num_partitions: int) -> DataFram
                                     F.xxhash64("url"))
 
 
+def extract_lang_routed(pages: DataFrame,
+                        tables: dict,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Extraction with normalization routed by the *predicted* language:
+
+    1. extract without normalizing (one mapInPandas pass),
+    2. classify each page's ``transcribed`` text with the shuffle-free
+       stopword-marker expressions (``operators/quality.py`` — a literal
+       marker table, no join, no shuffle),
+    3. normalize with the predicted language's orthography trie (per-lang
+       tries rebuilt once per executor); pages whose predicted language
+       has no table keep ``final = transcribed`` (X5 coalesce).
+
+    This is the production shape when the crawl's ``lang`` column is
+    missing or untrusted: the router runs on the pipeline's own extracted
+    text. Whole plan: two chained map stages + one projection — still no
+    shuffle. ``tables`` maps language code → ``OrthographyNormalizer`` or
+    its ``to_table()`` form.
+    """
+    from ..functions.udfs import OrthographyNormalizer
+    from .quality import _lang_hit_cols, _lang_winner
+
+    res = extract_pages(pages, normalize=False,
+                        num_partitions=num_partitions,
+                        output_columns=["header", "columns", "combined",
+                                        "transcribed", "spans", "metrics"])
+    scored = res.select("*", *_lang_hit_cols(F.col("transcribed")))
+    pred, _best = _lang_winner()
+    routed = scored.select(*res.columns, pred.alias("pred_lang"))
+
+    plain = {lg: (t.to_table() if isinstance(t, OrthographyNormalizer)
+                  else t) for lg, t in tables.items()}
+
+    def fn(batches):
+        import pandas as pd
+        tries = {lg: OrthographyNormalizer(t[0], t[1])
+                 for lg, t in plain.items()}
+        for pdf in batches:
+            normalized = []
+            for text, lg in zip(pdf["transcribed"], pdf["pred_lang"]):
+                trie = tries.get(lg)
+                if trie is None or text is None:
+                    normalized.append(None)
+                else:
+                    # match extract_one's framing: body normalized, the
+                    # trailing newline preserved byte-for-byte
+                    normalized.append(trie.normalize(text[:-1]) + "\n"
+                                      if text.endswith("\n")
+                                      else trie.normalize(text))
+            pdf = pdf.assign(normalized=normalized)
+            pdf["final"] = pdf["normalized"].where(
+                pdf["normalized"].notna(), pdf["transcribed"])
+            yield pdf
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # build a fresh StructType: StructType.add MUTATES the DataFrame's
+    # cached schema object, desyncing df.columns from the JVM plan
+    schema = StructType(list(routed.schema.fields)
+                        + [StructField("normalized", StringType(), True),
+                           StructField("final", StringType(), True)])
+    return routed.mapInPandas(fn, schema=schema)
+
+
 def explode_sections(results: DataFrame) -> DataFrame:
     """Wide result rows → one row per layout section (the ``blocks`` shape
     of the SURVEY data model): (url, section, ord, start, end, text).
