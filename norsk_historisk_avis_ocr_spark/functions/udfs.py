@@ -83,10 +83,9 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
         # correction pass input (``tesseract_claude_engine.py:108-122``);
         # the word-level change report mirrors correction-changes.txt
         # (``tesseract_claude_engine.py:126-133``)
-        body = transcribed[:-1]
-        normalized = normalizer.normalize(body) + "\n"
+        normalized = normalizer.normalize_framed(transcribed)
         if with_diff:
-            changes = readable_diff(body, normalized[:-1])
+            changes = readable_diff(transcribed[:-1], normalized[:-1])
 
     raws = ([header_raw] if header_raw is not None else []) + column_raws
     n_dropped = sum(1 for raw in raws for ln in raw.split("\n")

@@ -109,11 +109,8 @@ def extract_lang_routed(pages: DataFrame,
                 if trie is None or text is None:
                     normalized.append(None)
                 else:
-                    # match extract_one's framing: body normalized, the
-                    # trailing newline preserved byte-for-byte
-                    normalized.append(trie.normalize(text[:-1]) + "\n"
-                                      if text.endswith("\n")
-                                      else trie.normalize(text))
+                    # the shared X4 framing rule (stages/normalize.py)
+                    normalized.append(trie.normalize_framed(text))
             pdf = pdf.assign(normalized=normalized)
             pdf["final"] = pdf["normalized"].where(
                 pdf["normalized"].notna(), pdf["transcribed"])

@@ -49,18 +49,19 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"))
     points = points.localCheckpoint(eager=False)
 
-    seed_rows = points.orderBy("vec_id").limit(k).collect()
-    if not seed_rows:  # empty input → empty assignment
+    # dim = majority length over a vote sample of the smallest vec_ids —
+    # anchoring to the single lowest-vec_id row would let ONE malformed
+    # short vector silently drop the whole corpus as "ragged", and a
+    # k-sized vote can tie at k=2; sampling max(k, 16) rows makes a lone
+    # bad row the outlier in any non-degenerate corpus. Residual ties
+    # break toward the earliest vec_id's length (deterministic).
+    vote_rows = points.orderBy("vec_id").limit(max(k, 16)).collect()
+    if not vote_rows:  # empty input → empty assignment
         return points.select(
             "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
-    # dim = majority length among the k seed candidates — anchoring to the
-    # single lowest-vec_id row would let ONE malformed short vector
-    # silently drop the whole corpus as "ragged"; majority voting makes a
-    # lone bad row the outlier instead. Ties break toward the earliest
-    # vec_id's length (deterministic).
     counts: dict[int, int] = {}
     first_at: dict[int, int] = {}
-    for i, r in enumerate(seed_rows):
+    for i, r in enumerate(vote_rows):
         length = len(r.v)
         counts[length] = counts.get(length, 0) + 1
         first_at.setdefault(length, i)
@@ -71,14 +72,13 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
     # (vec_id, cell) row (same contract as null embeddings above)
     points = points.filter(F.size("v") == dim)
     if len(counts) > 1:
-        # rare corrupt-input path: some candidate seeds were ragged —
-        # re-collect so seeds are the k smallest VALID vec_ids
+        # rare corrupt-input path: the vote sample was ragged — re-collect
+        # so seeds are the k smallest VALID vec_ids
         seed_rows = points.orderBy("vec_id").limit(k).collect()
+    else:
+        seed_rows = vote_rows[:k]
     cents: list[tuple[int, list[float]]] = [
         (int(r.vec_id), [float(x) for x in r.v]) for r in seed_rows]
-    if not cents:
-        return points.select(
-            "vec_id", F.lit(None).cast("bigint").alias("cell")).limit(0)
 
     def assign(cent_list):
         # argmin over a centroid literal: struct ordering gives

@@ -73,6 +73,17 @@ class OrthographyNormalizer:
         walk(self._root, [])
         return out, set(self._preserve)
 
+    def normalize_framed(self, transcribed: str) -> str:
+        """Normalize the flowing body of a transcribed text while
+        preserving the trailing-newline framing byte-for-byte — the
+        correction-pass input framing
+        (``tesseract_claude_engine.py:108-122``). Single source of truth
+        for the X4 pass in ``extract_one`` and for
+        ``extract_lang_routed``'s routed pass."""
+        if transcribed.endswith("\n"):
+            return self.normalize(transcribed[:-1]) + "\n"
+        return self.normalize(transcribed)
+
     @staticmethod
     def _split_token(token: str) -> tuple[str, str, str]:
         start = 0

@@ -3,15 +3,16 @@ size-budget JPEG encode loop, offline.
 
 The reference prepares each page scan for its vision-model call by
 sharpening, boosting contrast 1.3×, then JPEG-encoding under the API's
-5 MB decoded-bytes budget — dropping quality 95→85→…→50 first and only
-then downscaling ×0.8 and resetting quality
+5 MB decoded-bytes budget — dropping quality by 10 per attempt while the
+current quality exceeds 50 (so the ladder is 95, 85, …, 55, 45 — the
+45 rung IS tried) and only then downscaling ×0.8 and resetting quality
 (``engines/claude_vision_engine.py:98-127``). The network call itself
 (X2) is out of scope by design (SURVEY §2.4 — no network in this
 engine), but the *prep/encode loop* is pure local compute and is
 implemented here for real against the in-tree JPEG encoder:
 
 - :func:`sharpen` — 3×3 unsharp kernel (PIL ``ImageFilter.SHARPEN``'s
-  public kernel: center 32, neighbors −2, divisor 16), reflect-padded.
+  public kernel: center 32, neighbors −2, divisor 16), edge-padded.
 - :func:`adjust_contrast` — PIL ``ImageEnhance.Contrast`` math: interpolate
   each pixel against the rounded grayscale mean, clipped to [0, 255].
 - :func:`resize_bilinear` — deterministic bilinear resampler (the analog
@@ -33,7 +34,7 @@ MAX_IMAGE_BYTES = 5 * 1024 * 1024  # the vision API's decoded-bytes budget
 
 
 def sharpen(gray: np.ndarray) -> np.ndarray:
-    """3×3 sharpen: out = (32·c − 2·Σ neighbors) / 16, reflect-padded,
+    """3×3 sharpen: out = (32·c − 2·Σ neighbors) / 16, edge-padded,
     rounded and clipped like an 8-bit filter pass."""
     g = gray.astype(np.float64)
     p = np.pad(g, 1, mode="edge")
@@ -83,9 +84,11 @@ def encode_image_under_limit(gray: np.ndarray,
                              max_bytes: int = MAX_IMAGE_BYTES,
                              prep: bool = True) -> dict:
     """JPEG-encode under ``max_bytes`` with the reference's schedule:
-    quality 95; while too big drop quality by 10 until 50; then downscale
-    ×0.8 and reset quality to 95. Returns payload metadata + the base64
-    string the vision call would ship."""
+    quality 95; while too big AND quality > 50, drop quality by 10 (the
+    last rung tried is 45); then downscale ×0.8 and reset quality to 95.
+    Returns payload metadata + the base64 string the vision call would
+    ship. Terminal quality is therefore always in {95, 85, 75, 65, 55,
+    45}."""
     from .jpeg import encode_jpeg_gray
 
     img = prepare_image(gray) if prep else gray

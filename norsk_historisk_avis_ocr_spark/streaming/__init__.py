@@ -81,7 +81,18 @@ def run_incremental_dedup(spark: SparkSession, in_path: str, out_path: str,
     This is the streaming analog of ``dedup.dedup_keep_first``: a crawl
     that continuously lands page files gets a deduplicated corpus without
     re-scanning committed output (the batch anti-join shape) — the state
-    store IS the done-set.
+    store IS the done-set. Keeper caveat vs the batch operator: across
+    batches/runs the earlier-committed page wins, but within one
+    micro-batch the keeper among simultaneous duplicates is whichever row
+    the tasks reach first (partition order) — streaming dropDuplicates has
+    no min-key tie-break. Output is therefore set-deterministic per text,
+    not row-deterministic; use ``dedup_keep_first`` when the keeper
+    identity matters.
+
+    Null-text pages carry no text identity: they are keyed by url instead
+    (``md5(NULL)`` is NULL and dropDuplicates treats NULL keys as equal —
+    keying on text alone would silently collapse every null-text page
+    into one row forever).
 
     State shape at 10^12 rows: exact streaming dedup keeps one state row
     per distinct key forever — unbounded. Pass ``watermark_delay`` (e.g.
@@ -92,7 +103,9 @@ def run_incremental_dedup(spark: SparkSession, in_path: str, out_path: str,
     and exact batch jobs downstream catch strays beyond the horizon.
     """
     pages = read_pages_stream(spark, in_path) \
-        .withColumn("text_md5", F.md5(F.col("text")))
+        .withColumn("text_md5",
+                    F.coalesce(F.md5(F.col("text")),
+                               F.concat(F.lit("null-text:"), F.col("url"))))
     if watermark_delay is not None:
         deduped = pages.withWatermark("warc_ts", watermark_delay) \
             .dropDuplicatesWithinWatermark(["text_md5"])

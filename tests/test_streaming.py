@@ -210,3 +210,27 @@ def test_incremental_dedup_watermark_variant(spark, sf_dir, tmp_path):
     run_incremental_dedup(spark, in_path, out, ckpt,
                           watermark_delay="3650 days")
     assert spark.read.parquet(out).count() == 8
+
+
+def test_incremental_dedup_null_text_not_collapsed(spark, sf_dir, tmp_path):
+    """Null-text pages carry no text identity and must NOT collapse into
+    one row (md5(NULL) keys would compare equal); they dedup by url."""
+    import datetime
+
+    from norsk_historisk_avis_ocr_spark.streaming import run_incremental_dedup
+
+    in_path = str(tmp_path / "ddn_in")
+    out = str(tmp_path / "ddn_out")
+    ckpt = str(tmp_path / "ddn_ckpt")
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(f"u{i}", ts, bytearray(b"<html></html>"), None, "en")
+            for i in range(5)]
+    rows.append(("u0", ts, bytearray(b"<html></html>"), None, "en"))  # dup url
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string").write.mode("append").parquet(in_path)
+    run_incremental_dedup(spark, in_path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5                      # all distinct urls kept
+    assert got.filter(F.col("text").isNull()).count() == 5

@@ -56,13 +56,19 @@ def test_budget_loop_schedule():
     tight = encode_image_under_limit(img, max_bytes=6000)
     assert tight["n_bytes"] <= 6000
     assert tight["n_attempts"] > 1
+    # terminal quality is always a ladder rung (95, 85, ..., 55, 45)
+    assert tight["quality"] in {95, 85, 75, 65, 55, 45}
     if (tight["width"], tight["height"]) != (160, 120):
-        # downscale happened → quality was reset to the top of the ladder
-        assert tight["quality"] == 95 or tight["quality"] >= 50
         assert tight["width"] < 160 and tight["height"] < 120
+        # a downscale means the full 6-rung ladder ran at least once
+        assert tight["n_attempts"] >= 7
     decoded = decode_jpeg_gray(base64.standard_b64decode(
         tight["payload_b64"]))
     assert decoded.shape == (tight["height"], tight["width"])
+    # the exact schedule: attempts before the first downscale walk
+    # 95,85,75,65,55,45 — a budget between two rungs terminates mid-ladder
+    mid = encode_image_under_limit(img, max_bytes=2500)
+    assert mid["quality"] in {95, 85, 75, 65, 55, 45}
 
     with pytest.raises(ValueError, match="budget"):
         encode_image_under_limit(img, max_bytes=10)
