@@ -413,6 +413,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return flags.agg(F.sum("n").alias("n_checked"),
                          F.sum("bad").alias("n_mismatch"))
 
+    def sections_verified(spark, sf):
+        """Self-verifying row for the per-section sink (S6,
+        ``explode_sections``): every exploded section row's byte span must
+        slice out of ``combined`` exactly, reading order must start with
+        the header when present, and per-url section counts must match the
+        spans column. (n_checked, n_mismatch) vs a constant oracle."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.extract import (
+            explode_sections,
+        )
+        res = extract_pages(pages_df(spark, sf))
+        sections = explode_sections(res)
+        joined = sections.join(
+            res.select("url", "combined", "header",
+                       F.size("spans").alias("n_spans")), "url")
+
+        def vfn(batches):
+            import pandas as pd
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    if row.ord == 0:
+                        n += 1  # one count per url (every url has ord 0),
+                        # so n_checked is corpus-size-derivable in SQL;
+                        # EVERY section row is still checked below
+                    data = row.combined.encode("utf-8")
+                    ok = (data[row.start:row.end].decode("utf-8") == row.text
+                          and 0 <= row.ord < row.n_spans)
+                    if row.section == "header":
+                        ok = ok and row.ord == 0 and row.text == row.header
+                    if not ok:
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = joined.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
+    def multimodal_frames(spark, sf):
+        """Video frame-sampling plumbing (1→N mapInPandas expansion) over
+        the oracle-visible corpus: frame count and time offsets derive
+        from the sha256 stub, so DuckDB reproduces every row (the frame
+        digest column is projected out — binary concat of NUL bytes is not
+        portable SQL)."""
+        _ensure_worker_path(spark)
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_key"),
+            F.encode("text", "UTF-8").alias("payload"))
+        frames = mm.frame_samples(docs, every_ms=250, url_col="doc_key",
+                                  bytes_col="payload")
+        return frames.select(
+            F.col("url").alias("doc_key"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("t_offset_ms").cast("long").alias("t_offset_ms"))
+
+    def multimodal_resize(spark, sf):
+        """Resize plumbing: aspect-preserving clamp of the stub dimensions
+        to max_side=512 — the geometry math is exact-integer-reproducible
+        in SQL (identical fp expression tree for the scale factor)."""
+        _ensure_worker_path(spark)
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_key"),
+            F.encode("text", "UTF-8").alias("payload"))
+        resized = mm.resize_media(docs, max_side=512, url_col="doc_key",
+                                  bytes_col="payload")
+        return resized.select(
+            F.col("url").alias("doc_key"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"))
+
     return {
         # -- extraction pipeline (non-SQL; rows-only checks) --------------
         "extract_pipeline": extract_pipeline,
@@ -423,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_verified": raster_verified,
         "raster_verified_jpeg": raster_verified_jpeg,
         "vision_payloads_verified": vision_payloads_verified,
+        "sections_verified": sections_verified,
+        "multimodal_frames": multimodal_frames,
+        "multimodal_resize": multimodal_resize,
         # -- window-shaped W1-W4 + friends ---------------------------------
         "w1_runlength_islands":
             lambda s, sf: w.runlength_islands(_t(s, sf, "events")),
@@ -822,6 +895,46 @@ FROM documents
         "vision_payloads_verified": """
 SELECT LEAST(COUNT(*), 12) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
+""",
+        # one check-count per url (ord-0 row), every section row verified
+        "sections_verified": """
+SELECT COUNT(*) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch FROM documents
+""",
+        # stub-deterministic 1→N frame expansion: n_frames and offsets
+        # derive from sha256(text) byte 2 (hex chars 5-6), every_ms=250
+        "multimodal_frames": """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_key, sha256(text) AS hx
+  FROM documents
+),
+n AS (
+  SELECT doc_key, 1 + ('0x' || substr(hx, 5, 2))::INT % 4 AS n_frames
+  FROM h
+)
+SELECT doc_key, frame_idx, frame_idx * 250 AS t_offset_ms FROM (
+  SELECT doc_key, CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx
+  FROM n
+)
+""",
+        # aspect-preserving clamp of the stub dims to max_side=512; the
+        # scale expression tree matches resize_media's fp ops exactly
+        "multimodal_resize": """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_key, sha256(text) AS hx
+  FROM documents
+),
+d AS (
+  SELECT doc_key,
+         256 + ('0x' || substr(hx, 1, 2))::INT * 8 AS w,
+         256 + ('0x' || substr(hx, 3, 2))::INT * 8 AS h
+  FROM h
+)
+SELECT doc_key,
+       CAST(TRUNC(w * LEAST(1.0, 512.0 / GREATEST(w, h))) AS BIGINT)
+           AS width,
+       CAST(TRUNC(h * LEAST(1.0, 512.0 / GREATEST(w, h))) AS BIGINT)
+           AS height
+FROM d
 """,
         "w1_runlength_islands": _ISLANDS_CTE + """
 SELECT user_id, event_type, island_start, island_end, island_len FROM isl
