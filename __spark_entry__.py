@@ -33,6 +33,7 @@ from norsk_historisk_avis_ocr_spark.operators import kmeans as km  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import multimodal as mm  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import quality as q  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import similarity as sim  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import skew as sk  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import windows as w  # noqa: E402
 from norsk_historisk_avis_ocr_spark.sources import pages_df  # noqa: E402
 
@@ -630,6 +631,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _dedup_keep_first,
         # -- skew handling ----------------------------------------------------
         "salted_hot_key_count": _salted_hot_key_count,
+        # salted two-phase SUM (exact milli-unit integers so the salted
+        # re-aggregation is value-invariant vs the plain GROUP BY oracle)
+        "salted_hot_key_sum":
+            lambda s, sf: sk.salted_sum(
+                _t(s, sf, "events"), "user_id",
+                F.round(F.col("value") * 1000).cast("long"),
+                "value_milli", n_salts=16),
+        # one-pass near-dup drop policy: every doc appearing as the larger
+        # id of an LSH candidate pair is removed (keep-smallest-of-pair)
+        "dedup_drop_pairs":
+            lambda s, sf: dd.drop_near_duplicates(
+                _t(s, sf, "documents").select("doc_id"),
+                dd.minhash_lsh_pairs(_t(s, sf, "documents"),
+                                     est_threshold=0.125)).select("doc_id"),
         # -- text analysis ---------------------------------------------------
         "lang_id": lambda s, sf: q.language_id(_t(s, sf, "documents")),
         "token_counts": lambda s, sf: q.token_counts(_t(s, sf, "documents")),
@@ -1264,6 +1279,32 @@ SELECT doc_id FROM keepers
 """,
         "salted_hot_key_count": """
 SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+""",
+        "salted_hot_key_sum": """
+SELECT user_id,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+           AS value_milli
+FROM events GROUP BY user_id
+""",
+        # keep-smallest-of-pair: docs that never appear as the larger id
+        # of an LSH candidate pair survive
+        "dedup_drop_pairs": sig_cte + f""",
+banded AS ({' UNION ALL '.join(band_keys)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE ({eq_terms}) / 16.0 >= 0.125
+),
+losers AS (SELECT DISTINCT doc_b FROM pairs)
+SELECT d.doc_id FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.doc_b
+WHERE l.doc_b IS NULL
 """,
         "lang_id": f"""
 WITH markers(cand_lang, word) AS (VALUES {markers}),
