@@ -2,9 +2,10 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
-pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG (the
-stdlib codec in ``stages/png.py``) and baseline JPEG (``stages/jpeg.py``):
-true dimensions + grayscale-histogram features. Audio/video decode is
+pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG
+(``stages/png.py``), baseline JPEG (``stages/jpeg.py``), and baseline
+TIFF (``stages/tiff.py``): true dimensions + grayscale-histogram
+features. Audio/video decode is
 stubbed (no codecs in this container) with deterministic fake
 dimensions/features derived from the bytes, behind a clearly-marked
 switch, while all the Spark-side plumbing — schema, batching,
@@ -71,13 +72,13 @@ def _gray_features(gray) -> dict:
 
 
 def decode_media(data: bytes) -> dict:
-    """Media decode: REAL for PNG and baseline JPEG, deterministic stub for
-    everything else.
+    """Media decode: REAL for PNG, baseline JPEG, and baseline TIFF;
+    deterministic stub for everything else.
 
-    PNG payloads go through the stdlib decoder (``stages/png.py``) and JPEG
-    payloads through the baseline decoder (``stages/jpeg.py``) — true
-    dimensions, and the feature vector is a unit-normalized 16-bin
-    grayscale histogram (a real, deterministic image feature). Audio/video
+    Image payloads go through the in-tree decoders (``stages/png.py`` /
+    ``stages/jpeg.py`` / ``stages/tiff.py``) — true dimensions, and the
+    feature vector is a unit-normalized 16-bin grayscale histogram (a
+    real, deterministic image feature). Audio/video
     codecs are unavailable in this container, so those payloads get stable
     pseudo-metadata and a unit-normalized vector derived from a SHA-256 of
     the bytes — same shapes, swap-in point for ffmpeg in production. A
@@ -99,6 +100,13 @@ def decode_media(data: bytes) -> dict:
             return _gray_features(decode_jpeg_gray(data))
         except (ValueError, struct.error, IndexError):
             # truncated/progressive/arithmetic JPEG: degrade to the stub
+            pass
+    elif data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        try:
+            from ..stages.tiff import decode_tiff_gray
+            return _gray_features(decode_tiff_gray(data))
+        except (ValueError, struct.error, IndexError):
+            # tiled/LZW/16-bit/truncated TIFF: degrade to the stub
             pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8
@@ -216,19 +224,15 @@ def vision_payloads(df: DataFrame, url_col: str = "url",
     def fn(batches):
         import pandas as pd
 
-        from ..stages.jpeg import decode_jpeg_gray
-        from ..stages.png import decode_png, to_grayscale
         from ..stages.visionprep import encode_image_under_limit
+        from .raster import decode_payload_gray
 
         for pdf in batches:
             rows = []
             for u, data in zip(pdf[url_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 try:
-                    if data.startswith(b"\xff\xd8\xff"):
-                        gray = decode_jpeg_gray(data)
-                    else:
-                        gray = to_grayscale(decode_png(data))
+                    gray = decode_payload_gray(data)
                     out = encode_image_under_limit(gray, max_bytes=budget)
                     rows.append({"url": u, **out, "prep_error": None})
                 except (ValueError, struct.error, zlib.error,

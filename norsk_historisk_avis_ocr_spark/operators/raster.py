@@ -78,6 +78,22 @@ def segment_rasters(df: DataFrame, id_col: str = "page_id",
     return df.mapInPandas(fn, schema=LAYOUT_SCHEMA)
 
 
+def decode_payload_gray(data: bytes):
+    """Sniff-dispatch image decode: baseline JPEG, baseline TIFF, or PNG
+    payload → (H, W) uint8 luma. Shared by the raster segmentation and
+    vision-prep operators; raises ValueError on anything undecodable
+    (quarantine contract)."""
+    from ..stages.jpeg import decode_jpeg_gray
+    from ..stages.png import decode_png, to_grayscale
+    from ..stages.tiff import decode_tiff_gray
+
+    if data.startswith(b"\xff\xd8\xff"):
+        return decode_jpeg_gray(data)
+    if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
+        return decode_tiff_gray(data)
+    return to_grayscale(decode_png(data))
+
+
 def render_debug_overlay(gray, geo) -> bytes:
     """Annotated debug raster (the reference's S8 debug artifacts,
     ``engines/_columns.py:294-418``, as a queryable column): the grayscale
@@ -123,12 +139,13 @@ def render_debug_overlay(gray, geo) -> bytes:
 def segment_image_pages(df: DataFrame, id_col: str = "page_id",
                         png_col: str = "png",
                         debug_overlay: bool = False) -> DataFrame:
-    """Encoded page payloads (PNG or baseline JPEG, dispatched on magic
-    bytes) → layout geometry rows (the reference's input class: encoded
-    raster in, geometry out, ``tesseract_engine.py:143-144``).
+    """Encoded page payloads (PNG, baseline JPEG, or baseline TIFF —
+    dispatched on magic bytes) → layout geometry rows (the reference's
+    input class: encoded raster in, geometry out,
+    ``tesseract_engine.py:143-144``).
 
-    Decode (stdlib PNG reader, ``stages/png.py``; baseline JPEG decoder,
-    ``stages/jpeg.py``), PIL-compatible grayscale conversion, and L1-L4
+    Decode (``stages/png.py`` / ``stages/jpeg.py`` / ``stages/tiff.py``
+    via :func:`decode_payload_gray`), grayscale conversion, and L1-L4
     segmentation are fused into one Arrow-batched stage — raw pixels never
     cross an Arrow boundary, only the compressed payload in and the small
     geometry struct out. Map-only, no shuffle; undecodable payloads yield
@@ -150,14 +167,8 @@ def segment_image_pages(df: DataFrame, id_col: str = "page_id",
     def fn(batches):
         import pandas as pd
 
-        from ..stages.jpeg import decode_jpeg_gray
         from ..stages.layout import split_columns_geometry
-        from ..stages.png import decode_png, to_grayscale
-
-        def decode_gray(data: bytes):
-            if data.startswith(b"\xff\xd8\xff"):
-                return decode_jpeg_gray(data)
-            return to_grayscale(decode_png(data))
+        decode_gray = decode_payload_gray
 
         def box(t):
             if t is None:

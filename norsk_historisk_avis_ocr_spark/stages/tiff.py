@@ -1,0 +1,189 @@
+"""Minimal baseline TIFF codec (grayscale) — stdlib struct + numpy.
+
+Newspaper scan corpora are commonly TIFF (the reference decodes them via
+PIL, ``engines/tesseract_engine.py:133-144``); this closes the last
+sniffed-but-stubbed image format in ``operators/multimodal.py``:
+
+- :func:`decode_tiff_gray` — single-IFD baseline TIFF → (H, W) uint8:
+  8-bit grayscale (PhotometricInterpretation 0/1, BlackIsZero or
+  WhiteIsZero) and 8-bit RGB (converted with the same PIL-exact integer
+  luma as the PNG path), uncompressed (Compression=1) or PackBits
+  (32773), strip-based, both byte orders (II/MM).
+- :func:`encode_tiff_gray` — single-strip uncompressed little-endian
+  grayscale writer (test/bench input generator).
+
+Anything else (tiles, LZW/JPEG-in-TIFF, 16-bit, planar, palettes) raises
+``ValueError`` — the same loud-failure/quarantine contract as the PNG and
+JPEG codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (public TIFF 6.0 spec constants)
+_WIDTH, _HEIGHT = 256, 257
+_BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
+_STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
+_STRIP_BYTE_COUNTS = 279
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+def _unpackbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (RLE) decompression, spec algorithm: n in [0,127] copies
+    n+1 literal bytes; n in [-127,-1] repeats the next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        code = b - 256 if b > 127 else b
+        if code >= 0:
+            out += data[i:i + code + 1]
+            i += code + 1
+        elif code != -128:
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (1 - code)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits output shorter than strip")
+    return bytes(out[:expected])
+
+
+def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF (no IFD)")
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack(bo + "HHI", data[off:off + 8])
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        if total <= 4:
+            raw = data[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(bo + "I", data[off + 8:off + 12])
+            raw = data[voff:voff + total]
+            if len(raw) != total:
+                raise ValueError("truncated TIFF tag data")
+        if typ == 3:
+            vals = list(struct.unpack(bo + "H" * count, raw))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + "I" * count, raw))
+        elif typ == 1:
+            vals = list(raw)
+        else:  # rationals etc — resolution metadata, not needed
+            vals = []
+        tags[tag] = vals
+    return tags
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (H, W) uint8 luma plane."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order header)")
+    tags = _read_ifd(data, bo)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(_WIDTH), one(_HEIGHT)
+    if w == 0 or h == 0:
+        raise ValueError("empty TIFF frame")
+    spp = one(_SAMPLES_PER_PIXEL, 1)
+    bits = tags.get(_BITS, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF (bits={bits} samples={spp}); "
+                         "8-bit gray/RGB only")
+    compression = one(_COMPRESSION, 1)
+    if compression not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}; "
+                         "uncompressed/PackBits only")
+    photometric = one(_PHOTOMETRIC, 1)
+    if photometric not in (0, 1) and not (photometric == 2 and spp == 3):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+
+    offsets = tags.get(_STRIP_OFFSETS)
+    counts = tags.get(_STRIP_BYTE_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(_ROWS_PER_STRIP, h)
+
+    row_bytes = w * spp
+    out = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        strip = data[off:off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, remaining_rows)
+        expected = n_rows * row_bytes
+        if compression == 32773:
+            out += _unpackbits_decode(strip, expected)
+        else:
+            if len(strip) < expected:
+                raise ValueError("TIFF strip shorter than its rows")
+            out += strip[:expected]
+        remaining_rows -= n_rows
+    if remaining_rows > 0:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if spp == 3:
+        from .png import to_grayscale
+        return to_grayscale(arr.reshape(h, w, 3))
+    gray = arr.reshape(h, w)
+    if photometric == 0:  # WhiteIsZero: invert to the BlackIsZero view
+        gray = (255 - gray.astype(np.int16)).astype(np.uint8)
+    return gray
+
+
+def encode_tiff_gray(arr: np.ndarray) -> bytes:
+    """(H, W) uint8 → single-strip uncompressed little-endian TIFF."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_tiff_gray takes a 2-D grayscale array")
+    h, w = arr.shape
+    pixels = arr.tobytes()
+    # layout: header(8) | pixel strip | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(pixels)
+    entries = [
+        (_WIDTH, 3, 1, w),
+        (_HEIGHT, 3, 1, h),
+        (_BITS, 3, 1, 8),
+        (_COMPRESSION, 3, 1, 1),
+        (_PHOTOMETRIC, 3, 1, 1),          # BlackIsZero
+        (_STRIP_OFFSETS, 4, 1, strip_off),
+        (_SAMPLES_PER_PIXEL, 3, 1, 1),
+        (_ROWS_PER_STRIP, 3, 1, h),
+        (_STRIP_BYTE_COUNTS, 4, 1, len(pixels)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        ifd += struct.pack("<HHII", tag, typ, count, value)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    header = b"II*\x00" + struct.pack("<I", ifd_off)
+    return header + pixels + ifd
