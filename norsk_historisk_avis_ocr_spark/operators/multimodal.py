@@ -3,14 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
 pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG
-(``stages/png.py``), baseline JPEG (``stages/jpeg.py``), and baseline
-TIFF (``stages/tiff.py``): true dimensions + grayscale-histogram
-features. Audio/video decode is
-stubbed (no codecs in this container) with deterministic fake
-dimensions/features derived from the bytes, behind a clearly-marked
-switch, while all the Spark-side plumbing — schema, batching,
-partitioning, UDF signatures, feature vectors — is real and tested.
-Swapping a stub branch for a real decoder changes one function.
+(``stages/png.py``), baseline JPEG (``stages/jpeg.py``), baseline TIFF
+(``stages/tiff.py``), and PCM WAV audio (``stages/audio.py``): true
+dimensions/frame counts/durations + real histogram features. Compressed
+video/audio decode is stubbed (no codecs in this container) with
+deterministic fake dimensions/features derived from the bytes, behind a
+clearly-marked switch, while all the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures, feature vectors — is real and
+tested. Swapping a stub branch for a real decoder changes one function.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ MEDIA_SCHEMA = StructType([
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
     StructField("n_frames", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),  # audio payloads only
     StructField("features", ArrayType(FloatType()), True),
 ])
 
@@ -66,7 +67,7 @@ def _gray_features(gray) -> dict:
     norm = float(np.sqrt((hist * hist).sum())) or 1.0
     return {
         "width": int(gray.shape[1]), "height": int(gray.shape[0]),
-        "n_frames": 1,
+        "n_frames": 1, "duration_ms": None,
         "features": [float(v / norm) for v in hist],
     }
 
@@ -108,6 +109,21 @@ def decode_media(data: bytes) -> dict:
         except (ValueError, struct.error, IndexError):
             # tiled/LZW/16-bit/truncated TIFF: degrade to the stub
             pass
+    elif data.startswith(b"RIFF"):
+        try:
+            from ..stages.audio import amplitude_histogram, decode_wav
+            wav = decode_wav(data)
+            return {
+                # image dims don't apply to audio; n_frames is the REAL
+                # PCM frame count, duration drives the 1→N sampler
+                "width": None, "height": None,
+                "n_frames": wav["n_frames"],
+                "duration_ms": wav["duration_ms"],
+                "features": amplitude_histogram(wav["samples"]),
+            }
+        except (ValueError, struct.error, IndexError):
+            # non-PCM/compressed/truncated RIFF: degrade to the stub
+            pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8
     height = 256 + digest[1] * 8
@@ -120,6 +136,7 @@ def decode_media(data: bytes) -> dict:
     norm = sum(v * v for v in raw) ** 0.5 or 1.0
     return {
         "width": width, "height": height, "n_frames": n_frames,
+        "duration_ms": None,
         "features": [float(v / norm) for v in raw],
     }
 
@@ -147,6 +164,10 @@ def resize_media(df: DataFrame, max_side: int = 512, url_col: str = "url",
                 data = bytes(data) if data is not None else b""
                 meta = decode_media(data)
                 w, h = meta["width"], meta["height"]
+                if w is None or h is None:  # audio: no raster to resize
+                    rows.append({"url": u, "width": None, "height": None,
+                                 "resized": None})
+                    continue
                 scale = min(1.0, max_side / max(w, h))
                 rows.append({
                     "url": u,
@@ -171,10 +192,12 @@ FRAME_SCHEMA = StructType([
 
 def frame_samples(df: DataFrame, every_ms: int = 1000,
                   url_col: str = "url", bytes_col: str = "html") -> DataFrame:
-    """Video frame sampling plumbing: one input row → N frame rows
+    """Frame/window sampling plumbing: one input row → N frame rows
     (1→N ``mapInPandas`` expansion — the shape real ffmpeg sampling uses).
-    Decode is stubbed like :func:`decode_media`: deterministic fake frame
-    count and per-frame digests derived from the payload."""
+    For REAL-decoded audio (PCM WAV) the sample count comes from the true
+    duration — one window per ``every_ms``; for video the decode is
+    stubbed like :func:`decode_media` (deterministic fake frame count);
+    per-frame digests stand in for the frame payloads either way."""
     def fn(batches):
         import pandas as pd
         for pdf in batches:
@@ -182,7 +205,12 @@ def frame_samples(df: DataFrame, every_ms: int = 1000,
             for u, data in zip(pdf[url_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 meta = decode_media(data)
-                for i in range(meta["n_frames"]):
+                if meta.get("duration_ms") is not None:
+                    # real duration → one sample window per every_ms
+                    n = max(1, int(meta["duration_ms"]) // every_ms + 1)
+                else:
+                    n = meta["n_frames"]
+                for i in range(n):
                     out["url"].append(u)
                     out["frame_idx"].append(i)
                     out["t_offset_ms"].append(i * every_ms)
