@@ -124,6 +124,26 @@ def decode_media(data: bytes) -> dict:
         except (ValueError, struct.error, IndexError):
             # non-PCM/compressed/truncated RIFF: degrade to the stub
             pass
+    elif data.startswith(b"\x1aE\xdf\xa3"):
+        try:
+            from ..stages.webm import parse_webm_metadata
+            meta = parse_webm_metadata(data)
+            if meta["width"] is not None or meta["duration_ms"] is not None:
+                # REAL container metadata; frame CONTENT decode needs
+                # VP8/VP9 codecs — per-frame digests remain the stand-in
+                digest = hashlib.sha256(data).digest()
+                raw = [int.from_bytes(digest[2 * i:2 * i + 2], "big")
+                       / 65535.0 - 0.5 for i in range(MEDIA_FEATURE_DIM)]
+                norm = sum(v * v for v in raw) ** 0.5 or 1.0
+                return {
+                    "width": meta["width"], "height": meta["height"],
+                    "n_frames": None,
+                    "duration_ms": meta["duration_ms"],
+                    "features": [float(v / norm) for v in raw],
+                }
+        except (ValueError, struct.error, IndexError):
+            # malformed EBML: degrade to the stub
+            pass
     digest = hashlib.sha256(data).digest()
     width = 256 + digest[0] * 8
     height = 256 + digest[1] * 8
@@ -209,7 +229,9 @@ def frame_samples(df: DataFrame, every_ms: int = 1000,
                     # real duration → one sample window per every_ms
                     n = max(1, int(meta["duration_ms"]) // every_ms + 1)
                 else:
-                    n = meta["n_frames"]
+                    # container metadata without duration → one keyframe
+                    n = meta["n_frames"] if meta["n_frames"] is not None \
+                        else 1
                 for i in range(n):
                     out["url"].append(u)
                     out["frame_idx"].append(i)
