@@ -2,15 +2,16 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages — exactly the
-pattern the html pipeline uses. ``decode_media`` REALLY decodes PNG
-(``stages/png.py``), baseline JPEG (``stages/jpeg.py``), baseline TIFF
-(``stages/tiff.py``), and PCM WAV audio (``stages/audio.py``): true
-dimensions/frame counts/durations + real histogram features. Compressed
-video/audio decode is stubbed (no codecs in this container) with
-deterministic fake dimensions/features derived from the bytes, behind a
-clearly-marked switch, while all the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures, feature vectors — is real and
-tested. Swapping a stub branch for a real decoder changes one function.
+pattern the html pipeline uses. ``decode_media`` yields REAL metadata
+for every sniffed class: PNG/JPEG/TIFF pixel decode (``stages/png.py`` /
+``jpeg.py`` / ``tiff.py``), PCM WAV samples + duration
+(``stages/audio.py``), WebM/EBML container dims + duration
+(``stages/webm.py``). Only compressed frame CONTENT (VP8/mp3 — codecs
+the container doesn't have) is stubbed with deterministic digest
+features, behind a clearly-marked switch, while all the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures, feature
+vectors — is real and tested. Swapping a stub branch for a real decoder
+changes one function.
 """
 
 from __future__ import annotations
@@ -72,54 +73,65 @@ def _gray_features(gray) -> dict:
     }
 
 
-def decode_media(data: bytes) -> dict:
-    """Media decode: REAL for PNG, baseline JPEG, and baseline TIFF;
-    deterministic stub for everything else.
+_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*")
 
-    Image payloads go through the in-tree decoders (``stages/png.py`` /
-    ``stages/jpeg.py`` / ``stages/tiff.py``) — true dimensions, and the
-    feature vector is a unit-normalized 16-bin grayscale histogram (a
-    real, deterministic image feature). Audio/video
-    codecs are unavailable in this container, so those payloads get stable
-    pseudo-metadata and a unit-normalized vector derived from a SHA-256 of
-    the bytes — same shapes, swap-in point for ffmpeg in production. A
-    malformed/non-baseline image falls through to the stub rather than
-    failing the task (quarantine-by-degradation).
+
+def _stub_features(data: bytes) -> list[float]:
+    """Deterministic digest-derived unit vector — the stand-in feature for
+    payloads with no decodable content (and for video frame content).
+    Feature i ← big-endian 16-bit slice of sha256(data) at bytes
+    [2i, 2i+2): exactly covers the 32-byte digest, every component
+    informative, each an exact integer / 65535 − 0.5 so the SQL oracles
+    reproduce it. SINGLE copy — the multimodal oracles mirror this
+    formula."""
+    digest = hashlib.sha256(data).digest()
+    raw = [int.from_bytes(digest[2 * i:2 * i + 2], "big") / 65535.0 - 0.5
+           for i in range(MEDIA_FEATURE_DIM)]
+    norm = sum(v * v for v in raw) ** 0.5 or 1.0
+    return [float(v / norm) for v in raw]
+
+
+def decode_media(data: bytes, features: bool = True) -> dict:
+    """Media decode: REAL metadata for every sniffed class — PNG/JPEG/TIFF
+    pixel decode (``raster.decode_payload_gray``), PCM WAV samples +
+    duration (``stages/audio.py``), WebM/EBML container dims + duration
+    (``stages/webm.py``); deterministic digest stub for everything else
+    (and for compressed frame CONTENT, which needs codecs the container
+    doesn't have). A malformed payload falls through to the stub rather
+    than failing the task (quarantine-by-degradation).
+
+    ``features=False`` skips the feature-vector computation for
+    metadata-only consumers (frame sampling, resize): WAV then reads only
+    the header instead of decoding the full PCM payload; ``features`` is
+    None in the result.
     """
-    if data.startswith(b"\x89PNG"):
+    if data.startswith(_IMAGE_MAGICS):
         try:
-            from ..stages.png import decode_png, to_grayscale
-            return _gray_features(to_grayscale(decode_png(data)))
-        except (ValueError, struct.error, zlib.error):
-            # corrupt/truncated PNG (bad IDAT → zlib.error, short IHDR →
-            # struct.error, unsupported/length mismatch → ValueError):
-            # degrade to the stub rather than failing the task
-            pass
-    elif data.startswith(b"\xff\xd8\xff"):
-        try:
-            from ..stages.jpeg import decode_jpeg_gray
-            return _gray_features(decode_jpeg_gray(data))
-        except (ValueError, struct.error, IndexError):
-            # truncated/progressive/arithmetic JPEG: degrade to the stub
-            pass
-    elif data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
-        try:
-            from ..stages.tiff import decode_tiff_gray
-            return _gray_features(decode_tiff_gray(data))
-        except (ValueError, struct.error, IndexError):
-            # tiled/LZW/16-bit/truncated TIFF: degrade to the stub
+            from .raster import decode_payload_gray
+            return _gray_features(decode_payload_gray(data))
+        except (ValueError, struct.error, zlib.error, IndexError):
+            # corrupt/truncated/unsupported image (bad IDAT → zlib.error,
+            # short header → struct.error, progressive JPEG / LZW TIFF /
+            # length mismatch → ValueError): degrade to the stub
             pass
     elif data.startswith(b"RIFF"):
         try:
-            from ..stages.audio import amplitude_histogram, decode_wav
-            wav = decode_wav(data)
+            from ..stages.audio import (
+                amplitude_histogram, decode_wav, wav_metadata,
+            )
+            if features:
+                wav = decode_wav(data)
+                feats = amplitude_histogram(wav["samples"])
+            else:
+                wav = wav_metadata(data)  # O(header), no PCM read
+                feats = None
             return {
                 # image dims don't apply to audio; n_frames is the REAL
                 # PCM frame count, duration drives the 1→N sampler
                 "width": None, "height": None,
                 "n_frames": wav["n_frames"],
                 "duration_ms": wav["duration_ms"],
-                "features": amplitude_histogram(wav["samples"]),
+                "features": feats,
             }
         except (ValueError, struct.error, IndexError):
             # non-PCM/compressed/truncated RIFF: degrade to the stub
@@ -130,34 +142,23 @@ def decode_media(data: bytes) -> dict:
             meta = parse_webm_metadata(data)
             if meta["width"] is not None or meta["duration_ms"] is not None:
                 # REAL container metadata; frame CONTENT decode needs
-                # VP8/VP9 codecs — per-frame digests remain the stand-in
-                digest = hashlib.sha256(data).digest()
-                raw = [int.from_bytes(digest[2 * i:2 * i + 2], "big")
-                       / 65535.0 - 0.5 for i in range(MEDIA_FEATURE_DIM)]
-                norm = sum(v * v for v in raw) ** 0.5 or 1.0
+                # VP8/VP9 codecs — the digest stub stands in for features
                 return {
                     "width": meta["width"], "height": meta["height"],
                     "n_frames": None,
                     "duration_ms": meta["duration_ms"],
-                    "features": [float(v / norm) for v in raw],
+                    "features": _stub_features(data) if features else None,
                 }
         except (ValueError, struct.error, IndexError):
             # malformed EBML: degrade to the stub
             pass
     digest = hashlib.sha256(data).digest()
-    width = 256 + digest[0] * 8
-    height = 256 + digest[1] * 8
-    n_frames = 1 + digest[2] % 4
-    # feature i ← big-endian 16-bit slice at bytes [2i, 2i+2): exactly
-    # covers the 32-byte digest, so every component is informative (and
-    # each is an exact integer / 65535 − 0.5, reproducible in SQL oracles)
-    raw = [int.from_bytes(digest[2 * i:2 * i + 2], "big") / 65535.0 - 0.5
-           for i in range(MEDIA_FEATURE_DIM)]
-    norm = sum(v * v for v in raw) ** 0.5 or 1.0
     return {
-        "width": width, "height": height, "n_frames": n_frames,
+        "width": 256 + digest[0] * 8,
+        "height": 256 + digest[1] * 8,
+        "n_frames": 1 + digest[2] % 4,
         "duration_ms": None,
-        "features": [float(v / norm) for v in raw],
+        "features": _stub_features(data) if features else None,
     }
 
 
@@ -182,7 +183,7 @@ def resize_media(df: DataFrame, max_side: int = 512, url_col: str = "url",
             rows = []
             for u, data in zip(pdf[url_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
-                meta = decode_media(data)
+                meta = decode_media(data, features=False)
                 w, h = meta["width"], meta["height"]
                 if w is None or h is None:  # audio: no raster to resize
                     rows.append({"url": u, "width": None, "height": None,
@@ -224,7 +225,7 @@ def frame_samples(df: DataFrame, every_ms: int = 1000,
             out = {"url": [], "frame_idx": [], "t_offset_ms": [], "frame": []}
             for u, data in zip(pdf[url_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
-                meta = decode_media(data)
+                meta = decode_media(data, features=False)
                 if meta.get("duration_ms") is not None:
                     # real duration → one sample window per every_ms
                     n = max(1, int(meta["duration_ms"]) // every_ms + 1)

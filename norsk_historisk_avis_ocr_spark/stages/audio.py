@@ -22,6 +22,32 @@ import numpy as np
 FEATURE_BINS = 16
 
 
+def wav_metadata(data: bytes) -> dict:
+    """Header-only WAV probe: rate/channels/frames/duration WITHOUT
+    reading the PCM payload — what metadata-only consumers (frame
+    sampling, resize plumbing) should use; O(header), not O(bytes)."""
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            n_channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"bad WAV payload: {exc}") from exc
+    if rate <= 0 or n_channels <= 0:
+        raise ValueError("bad WAV header (zero rate/channels)")
+    if sampwidth != 2:
+        raise ValueError(
+            f"unsupported WAV sample width {sampwidth * 8}-bit; "
+            "16-bit PCM only")
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(n_channels),
+        "n_frames": int(n_frames),
+        "duration_ms": int(n_frames * 1000 // rate),
+    }
+
+
 def decode_wav(data: bytes) -> dict:
     """WAV bytes → samples + typed metadata.
 
@@ -64,7 +90,8 @@ def amplitude_histogram(samples: np.ndarray,
     if samples.size == 0:
         return [0.0] * bins
     mag = np.abs(samples.astype(np.int32)).ravel()
-    idx = np.minimum(mag >> 11, bins - 1)  # 32768 / 16 = 2048 per band
+    band = max(1, 32768 // bins)  # equal bands of the 16-bit magnitude range
+    idx = np.minimum(mag // band, bins - 1)
     hist = np.bincount(idx, minlength=bins).astype(np.float64)
     norm = float(np.sqrt((hist * hist).sum())) or 1.0
     return [float(v / norm) for v in hist]

@@ -58,6 +58,8 @@ def _unpackbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
     (ifd_off,) = struct.unpack(bo + "I", data[4:8])
     if ifd_off + 2 > len(data):
         raise ValueError("truncated TIFF (no IFD)")
@@ -122,7 +124,14 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF compression {compression}; "
                          "uncompressed/PackBits only")
     photometric = one(_PHOTOMETRIC, 1)
-    if photometric not in (0, 1) and not (photometric == 2 and spp == 3):
+    # photometric must MATCH the sample layout: gray needs 0/1, RGB needs
+    # 2 — a WhiteIsZero tag on RGB data would otherwise be silently
+    # ignored (the spp==3 branch never runs the inversion)
+    if spp == 3:
+        if photometric != 2:
+            raise ValueError(
+                f"unsupported TIFF photometric {photometric} for RGB")
+    elif photometric not in (0, 1):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
 
     offsets = tags.get(_STRIP_OFFSETS)

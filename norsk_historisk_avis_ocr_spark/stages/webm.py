@@ -46,8 +46,10 @@ def _read_id(data: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("bad EBML id")
 
 
-def _read_size(data: bytes, pos: int) -> tuple[int, int]:
-    """EBML size varint: length from leading zeros, marker bit STRIPPED."""
+def _read_size(data: bytes, pos: int) -> tuple[int | None, int]:
+    """EBML size varint: length from leading zeros, marker bit STRIPPED.
+    The all-value-bits-1 encoding (e.g. a lone 0xFF) means UNKNOWN size
+    (standard for live-muxed Segments/Clusters) → returns None."""
     if pos >= len(data):
         raise ValueError("truncated EBML (size)")
     first = data[pos]
@@ -57,6 +59,8 @@ def _read_size(data: bytes, pos: int) -> tuple[int, int]:
             if len(raw) != n:
                 raise ValueError("truncated EBML size")
             value = int.from_bytes(raw, "big") - (1 << (8 * n - n))
+            if value == (1 << (7 * n)) - 1:
+                return None, pos + n  # unknown size
             return value, pos + n
     raise ValueError("bad EBML size")
 
@@ -66,6 +70,10 @@ def _children(data: bytes, start: int, end: int):
     while pos < end:
         eid, pos = _read_id(data, pos)
         size, pos = _read_size(data, pos)
+        if size is None:
+            # unknown-size child (master element): extends to parent end
+            yield eid, pos, end
+            return
         if pos + size > end:
             raise ValueError("EBML child overruns parent")
         yield eid, pos, pos + size
@@ -95,12 +103,15 @@ def parse_webm_metadata(data: bytes) -> dict:
     if eid != _EBML_HEADER:
         raise ValueError("not an EBML stream")
     size, pos = _read_size(data, pos)
+    if size is None:
+        raise ValueError("EBML header with unknown size")
     pos += size  # skip the EBML header body
     eid, pos = _read_id(data, pos)
     if eid != _SEGMENT:
         raise ValueError("no Matroska Segment")
     seg_size, pos = _read_size(data, pos)
-    seg_end = min(pos + seg_size, len(data))
+    seg_end = (len(data) if seg_size is None  # unknown-size live segment
+               else min(pos + seg_size, len(data)))
 
     scale_ns = 1_000_000  # spec default: 1 ms per tick
     duration_ticks: float | None = None
