@@ -351,6 +351,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return flags.agg(F.sum("n").alias("n_checked"),
                          F.sum("bad").alias("n_mismatch"))
 
+    def overlay_verified(spark, sf):
+        """Self-verifying row for the S8 annotated debug rasters
+        (``render_debug_overlay`` — the reference's debug artifacts,
+        ``engines/_columns.py:294-418``): run ``segment_image_pages`` with
+        ``debug_overlay=True``, then in a second Arrow stage (1) re-render
+        the overlay *from the stored geometry columns* on the regenerated
+        page and require byte-identical PNG output — proving the geometry
+        columns alone reproduce the artifact and the binary column survives
+        Arrow/Spark transport untouched — and (2) decode the stored PNG
+        with the in-tree decoder and audit dimensions + the body-top
+        marker color (drawn last, so never overdrawn). One
+        ``(n_checked, n_mismatch)`` row against a constant oracle."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_image_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            raster_pages_df,
+        )
+        pages = raster_pages_df(spark, sf, limit=24, partitions=8)
+        geo = segment_image_pages(pages, debug_overlay=True)
+
+        def vfn(batches):
+            import numpy as np
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.operators.raster import (
+                render_debug_overlay,
+            )
+            from norsk_historisk_avis_ocr_spark.sources.rasters import (
+                synth_page_array,
+            )
+            from norsk_historisk_avis_ocr_spark.stages.png import decode_png
+
+            def as_tuple(box):
+                if box is None:
+                    return None
+                return (box["x0"], box["y0"], box["x1"], box["y1"])
+
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    n += 1
+                    if row.decode_error is not None or row.debug_png is None:
+                        bad += 1
+                        continue
+                    gray = synth_page_array(row.page_id)
+                    geo_dict = {
+                        "boundaries": list(row.boundaries),
+                        "body_top": list(row.body_top),
+                        "title_box": as_tuple(row.title_box),
+                        "column_boxes": [as_tuple(b)
+                                         for b in row.column_boxes],
+                    }
+                    got = bytes(row.debug_png)
+                    if got != render_debug_overlay(gray, geo_dict):
+                        bad += 1
+                        continue
+                    rgb = decode_png(got)
+                    if rgb.shape != gray.shape + (3,):
+                        bad += 1
+                        continue
+                    if len(row.body_top):
+                        orange = ((rgb[:, :, 0] == 255)
+                                  & (rgb[:, :, 1] == 160)
+                                  & (rgb[:, :, 2] == 0))
+                        if not bool(np.any(orange)):
+                            bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = geo.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
     def vision_payloads_verified(spark, sf):
         """Self-verifying row for the X3 prep/encode budget loop
         (``stages/visionprep.py``): run ``vision_payloads`` over small
@@ -493,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verified": extract_verified,
         "raster_verified": raster_verified,
         "raster_verified_jpeg": raster_verified_jpeg,
+        "overlay_verified": overlay_verified,
         "vision_payloads_verified": vision_payloads_verified,
         "sections_verified": sections_verified,
         "multimodal_frames": multimodal_frames,
@@ -905,6 +980,10 @@ FROM documents
 """,
         "raster_verified_jpeg": """
 SELECT LEAST(COUNT(*), 16) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+        "overlay_verified": """
+SELECT LEAST(COUNT(*), 24) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
 """,
         "vision_payloads_verified": """

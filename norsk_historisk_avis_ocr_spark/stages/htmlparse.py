@@ -52,7 +52,7 @@ MAX_LINK_DENSITY = 0.45   # above this a block is boilerplate
 MIN_CONTENT_CHARS = 3     # non-heading blocks shorter than this are noise
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One DOM leaf block — the Arrow-struct unit of layout."""
     order: int
@@ -81,42 +81,50 @@ class _BlockBuilder:
         self._order = 0
 
     def start(self, tag: str) -> None:
-        if tag in SKIP_TAGS:
-            self._skip_depth += 1
-            return
+        # hot path first: most start events are block tags outside any
+        # skipped subtree (behavior identical to the check-chain form —
+        # the tag classes are disjoint; equality-tested vs stdlib parser)
         if self._skip_depth:
-            return
-        if tag in BREAK_TAGS:
-            if self._stack:
-                self._stack[-1].text_parts.append("\n")
-            return
-        if tag == "a":
-            self._link_depth += 1
+            if tag in SKIP_TAGS:
+                self._skip_depth += 1
             return
         if tag in BLOCK_TAGS:
-            parent = self._stack[-1].tag if self._stack else ""
-            if self._stack:
-                self._stack[-1].has_block_child = True
+            stack = self._stack
+            parent = ""
+            if stack:
+                top = stack[-1]
+                parent = top.tag
+                top.has_block_child = True
             blk = Block(order=self._order, tag=tag, parent_tag=parent,
-                        depth=len(self._stack))
+                        depth=len(stack))
             self._order += 1
             self.blocks.append(blk)
-            self._stack.append(blk)
+            stack.append(blk)
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            self._link_depth += 1
+        elif tag in BREAK_TAGS:
+            if self._stack:
+                self._stack[-1].text_parts.append("\n")
 
     def end(self, tag: str) -> None:
-        if tag in SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
-            return
         if self._skip_depth:
+            if tag in SKIP_TAGS:
+                self._skip_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            stack = self._stack
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
-            return
-        if tag in BLOCK_TAGS:
-            for i in range(len(self._stack) - 1, -1, -1):
-                if self._stack[i].tag == tag:
-                    del self._stack[i:]
-                    break
+        # stray close of a skip tag at depth 0: no-op (matches the old
+        # max(0, depth-1) clamp)
 
     def text(self, data: str) -> None:
         if self._skip_depth or not self._stack or not data:
@@ -183,27 +191,31 @@ def _scan_fast(html_str: str) -> list[Block]:
                                 html_str)
     b = _BlockBuilder()
     text = b.text
+    start = b.start
+    end = b.end
+    unesc = unescape
     for m in _TOKEN.finditer(html_str):
-        name = m.group(2)
+        # one C call for all four tag groups (vs four .group() round-trips)
+        slash, name, attrs, close = m.group(1, 2, 3, 4)
         if name is not None:
-            if not m.group(4):
+            if not close:
                 # unterminated tag at EOF — stdlib flushes it as data
                 text(m.group(0))
                 continue
             name = name.lower()
-            if m.group(1):
-                b.end(name)
+            if slash:
+                end(name)
             else:
-                b.start(name)
+                start(name)
                 # `<div/>`-style: stdlib emits only startendtag (no block);
                 # close it immediately so it stays an empty (filtered)
                 # block. Self-closing inline elements stay ignored.
-                if name in BLOCK_TAGS and m.group(3).endswith("/"):
-                    b.end(name)
+                if attrs.endswith("/") and name in BLOCK_TAGS:
+                    end(name)
             continue
         tok = m.group(0)
         if tok[0] != "<":
-            text(unescape(tok) if "&" in tok else tok)
+            text(unesc(tok) if "&" in tok else tok)
         elif not tok.endswith(">") and not tok.startswith("<!--"):
             # unterminated declaration/PI at EOF — stdlib flushes as data
             text(tok)

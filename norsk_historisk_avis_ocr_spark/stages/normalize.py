@@ -59,6 +59,9 @@ class OrthographyNormalizer:
             for t in toks:
                 node = node.children.setdefault(t, _TrieNode())
             node.value = repl
+        # tokens that can possibly start a rewrite (trie heads minus the
+        # preserve set — preserve wins before any trie walk)
+        self._candidates: set[str] = set(self._root.children) - self._preserve
 
     # -- table export (for broadcasting a plain dict instead of the object) --
     def to_table(self) -> tuple[dict[str, str], set[str]]:
@@ -115,13 +118,23 @@ class OrthographyNormalizer:
         # the full (pre, core, post) split is only needed on actual matches
         cores = [tok.strip(_PUNCT).lower() for tok in tokens]
 
+        # A token can start a rewrite only if its core heads some trie entry
+        # AND is not preserved (preserve is checked before the trie, so a
+        # preserved head can never match) — one set lookup rejects the
+        # copy-verbatim majority of tokens.
+        candidates = self._candidates
+        if candidates.isdisjoint(cores):
+            return text  # nothing can match: the output is the input
+
+        preserve = self._preserve
+        n_seps = len(seps)
         out: list[str] = []
         i = 0
         n = len(tokens)
         while i < n:
-            if cores[i] in self._preserve:
+            if cores[i] not in candidates:
                 out.append(tokens[i])
-                if i < len(seps):
+                if i < n_seps:
                     out.append(seps[i])
                 i += 1
                 continue
@@ -137,7 +150,7 @@ class OrthographyNormalizer:
                 if node.value is not None:
                     best_len = j - i
                     best_val = node.value
-            if best_val is None or any(cores[k] in self._preserve for k in range(i, i + best_len)):
+            if best_val is None or any(cores[k] in preserve for k in range(i, i + best_len)):
                 out.append(tokens[i])
                 if i < len(seps):
                     out.append(seps[i])
