@@ -30,6 +30,7 @@ from norsk_historisk_avis_ocr_spark.operators import extract_pages  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import corpus as cp  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import dedup as dd  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import kmeans as km  # noqa: E402
+from norsk_historisk_avis_ocr_spark.operators import lexicon as lx  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import multimodal as mm  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import quality as q  # noqa: E402
 from norsk_historisk_avis_ocr_spark.operators import similarity as sim  # noqa: E402
@@ -728,6 +729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, sf: q.fingerprints(_t(s, sf, "documents")),
         "stopword_ratios":
             lambda s, sf: q.stopword_ratios(_t(s, sf, "documents")),
+        # corpus-driven confusion-lexicon induction (operators/lexicon.py):
+        # top-50 alphabetic token frequencies with a deterministic tie-break
+        # — the word list the confusion table is expanded from; the top-N
+        # cut is TakeOrderedAndProject, not a global sort
+        "lexicon_top_tokens":
+            lambda s, sf: lx.token_frequencies(_t(s, sf, "documents"))
+                .orderBy(F.desc("cnt"), F.asc("token")).limit(50),
         # -- corpus assembly (splits / sampling / packing) -------------------
         "corpus_split":
             lambda s, sf: cp.deterministic_split(
@@ -1483,6 +1491,24 @@ SELECT doc_id,
        ROUND(len(list_filter(toks, x -> list_contains([{sw_en}], x)))
              / GREATEST(len(toks), 1), 6) AS en_stopword_ratio
 FROM t
+""",
+        # confusion-lexicon induction: whitespace tokens, edge punctuation
+        # stripped (the normalizer's _PUNCT class), lowercase alphabetic
+        # ≥3 chars, top-50 by (count desc, token asc)
+        "lexicon_top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+), cores AS (
+  SELECT regexp_replace(regexp_replace(lower(tok),
+           '^[.,;:!?«»"''()\[\]{}\-–—]+', ''),
+           '[.,;:!?«»"''()\[\]{}\-–—]+$', '') AS token
+  FROM toks
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM cores
+  WHERE regexp_matches(token, '^[a-zæøå]+$') AND length(token) >= 3
+  GROUP BY token
+)
+SELECT token, cnt FROM freq ORDER BY cnt DESC, token ASC LIMIT 50
 """,
         # hash-bucket split: thresholds over the portable hash of
         # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
