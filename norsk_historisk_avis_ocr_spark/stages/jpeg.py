@@ -146,6 +146,7 @@ class _PeekTable:
                 code += 1
                 k += 1
             code <<= 1
+        self.entry_np = entry  # vectorized bit-plane precompute path
         self.entry = entry.tolist()
 
 
@@ -293,15 +294,15 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
 
     segments, _end = _destuff(data, scan_start)
     luma = comps[0]
-    # per-component decode plan: (dc entry list, ac entry list, blocks/MCU,
-    # keep) — resolved once so the inner loop is pure local-variable work
+    # per-component decode plan: (dc table, ac table, blocks/MCU, keep) —
+    # resolved once so the inner loop is pure local-variable work
     plan = []
     for ci, comp in enumerate(comps):
         dc_t = htables.get((0, sel[comp["id"]][0]))
         ac_t = htables.get((1, sel[comp["id"]][1]))
         if dc_t is None or ac_t is None:
             raise ValueError("missing Huffman table")
-        plan.append((dc_t.entry, ac_t.entry, comp["v"] * comp["h"], ci == 0))
+        plan.append((dc_t, ac_t, comp["v"] * comp["h"], ci == 0))
 
     luma_blocks: list[list[int]] = []
     mcu = 0
@@ -329,14 +330,120 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     return np.ascontiguousarray(img[:h, :w])
 
 
+# Segments below this use the original scalar bit-cursor loop (kept as the
+# semantics reference); everything bigger takes the word-peek loop.
+_WORDS_MIN_BYTES = 1024
+# Zero padding past the segment end for the word array. Must cover one
+# worst-case MCU of overrun before the per-MCU truncation check fires:
+# ≤48 blocks/MCU (3 comps × 4×4 sampling) × ~1.7 Kbit/block ≈ 10 KiB;
+# 16 KiB gives slack, and an IndexError backstop catches the rest.
+_PAD_BYTES = 16384
+
+
+def _segment_words(seg: bytes) -> tuple[int, ...]:
+    """``seg`` + zero padding as big-endian 32-bit words (one C-speed
+    ``struct.unpack``, no large numpy temporaries — big-array first-touch
+    is pathologically slow on some hosts). A 32-bit peek at any bit offset
+    ``i`` is two word reads: ``(w[i>>5]<<32 | w[(i>>5)+1]) >> (32-(i&31))``
+    — zero-fill-past-end semantics identical to the scalar refill loop."""
+    pad = _PAD_BYTES + (-len(seg)) % 4 + 8
+    padded = seg + b"\x00" * pad
+    return struct.unpack(f">{len(padded) // 4}I", padded)
+
+
 def _decode_mcus(seg: bytes, plan, luma_blocks: list, mcu: int,
                  limit: int) -> int:
-    """Entropy-decode MCUs ``mcu..limit`` of one restart segment. The bit
-    cursor lives in local ints (no per-symbol method calls — this loop is
-    the decoder's Python-side cost); luma coefficient blocks (flat 64-lists
-    in natural order) are appended to ``luma_blocks``, chroma blocks are
-    decoded for stream sync and discarded."""
+    """Entropy-decode MCUs ``mcu..limit`` of one restart segment. Dispatch:
+    big segments take the word-peek loop (no per-symbol refill state),
+    tiny ones the scalar bit-cursor loop — both produce identical blocks
+    (equality- and bitstream-exact-tested)."""
+    if len(seg) >= _WORDS_MIN_BYTES:
+        return _decode_mcus_words(seg, plan, luma_blocks, mcu, limit)
+    return _decode_mcus_scalar(seg, plan, luma_blocks, mcu, limit)
+
+
+def _decode_mcus_words(seg: bytes, plan, luma_blocks: list, mcu: int,
+                       limit: int) -> int:
+    """Word-peek entropy decode: the 32-bit peek needed by any symbol
+    (≤16 code bits + ≤15 magnitude bits) is assembled from two words of
+    :func:`_segment_words` at the current bit offset — the (buf, nbits)
+    cursor and its three per-symbol refill loops disappear."""
     zz = _ZZ_FLAT
+    w = _segment_words(seg)
+    plan = [(d.entry, a.entry, nb, keep) for d, a, nb, keep in plan]
+    n8 = len(seg) << 3
+    i = 0
+    preds = [0] * len(plan)
+    try:
+        while mcu < limit:
+            for ci, (dce, ace, nb, keep) in enumerate(plan):
+                for _b in range(nb):
+                    coef = [0] * 64
+                    j = i >> 5
+                    pk = (((w[j] << 32) | w[j + 1])
+                          >> (32 - (i & 31))) & 0xFFFFFFFF
+                    e = dce[pk >> 16]
+                    if e < 0:
+                        raise ValueError("bad Huffman code (DC)")
+                    length = e & 31
+                    size = e >> 5
+                    if size > 11:
+                        raise ValueError("bad DC size")
+                    if size:
+                        v = ((pk >> (32 - length - size))
+                             & ((1 << size) - 1))
+                        preds[ci] += (v - (1 << size) + 1
+                                      if v < (1 << (size - 1)) else v)
+                    i += length + size
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        j = i >> 5
+                        pk = (((w[j] << 32) | w[j + 1])
+                              >> (32 - (i & 31))) & 0xFFFFFFFF
+                        e = ace[pk >> 16]
+                        if e < 0:
+                            raise ValueError("bad Huffman code (AC)")
+                        length = e & 31
+                        sym = e >> 5
+                        if sym == 0x00:  # EOB
+                            i += length
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += length
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 15
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        v = ((pk >> (32 - length - size))
+                             & ((1 << size) - 1))
+                        coef[zz[k]] = (v - (1 << size) + 1
+                                       if v < (1 << (size - 1)) else v)
+                        i += length + size
+                        k += 1
+                    if keep:
+                        luma_blocks.append(coef)
+            mcu += 1
+            # same loud-failure contract as the scalar path: consuming any
+            # zero-fill bit past the stream end means truncated data
+            if i > n8:
+                raise ValueError("JPEG entropy data truncated")
+    except IndexError:
+        raise ValueError("JPEG entropy data truncated") from None
+    return mcu
+
+
+def _decode_mcus_scalar(seg: bytes, plan, luma_blocks: list, mcu: int,
+                        limit: int) -> int:
+    """Scalar bit-cursor loop (the semantics reference for the vector
+    path). The bit cursor lives in local ints (no per-symbol method calls);
+    luma coefficient blocks (flat 64-lists in natural order) are appended
+    to ``luma_blocks``, chroma blocks are decoded for stream sync and
+    discarded."""
+    zz = _ZZ_FLAT
+    plan = [(d.entry, a.entry, nb, keep) for d, a, nb, keep in plan]
     n = len(seg)
     buf = nbits = pos = 0
     preds = [0] * len(plan)

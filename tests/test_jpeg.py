@@ -252,3 +252,51 @@ def test_jpeg_raster_leg_geometry_parity(spark):
                      (r.title_box.x0, r.title_box.y0,
                       r.title_box.x1, r.title_box.y1))
         assert got_title == want_title, pid
+
+
+def test_word_path_equals_scalar_path(monkeypatch):
+    """The word-peek entropy loop and the scalar bit-cursor loop must
+    produce identical pixels on the same streams (the scalar loop is the
+    semantics reference; dispatch is by segment size only)."""
+    from norsk_historisk_avis_ocr_spark.stages import jpeg as J
+
+    rng = np.random.default_rng(7)
+    imgs = [_gradient(48, 80),
+            rng.integers(0, 256, (56, 64)).astype(np.uint8),
+            np.full((24, 24), 9, dtype=np.uint8)]
+    blobs = [encode_jpeg_gray(im, quality=q)
+             for im in imgs for q in (60, 97)]
+    monkeypatch.setattr(J, "_WORDS_MIN_BYTES", 0)      # force word path
+    via_words = [J.decode_jpeg_gray(b) for b in blobs]
+    monkeypatch.setattr(J, "_WORDS_MIN_BYTES", 10**12)  # force scalar
+    via_scalar = [J.decode_jpeg_gray(b) for b in blobs]
+    for a, b in zip(via_words, via_scalar):
+        assert np.array_equal(a, b)
+
+
+def test_jpeg_corrupt_bytes_never_silent_word_path(monkeypatch):
+    """Same bit-flip/truncation fuzz with the word-peek loop forced, so
+    corrupt streams exercise its IndexError backstop and symbol checks."""
+    from hypothesis import given, settings, strategies as st
+
+    from norsk_historisk_avis_ocr_spark.stages import jpeg as J
+
+    monkeypatch.setattr(J, "_WORDS_MIN_BYTES", 0)
+    base = encode_jpeg_gray(_gradient(24, 24), quality=80)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(2, len(base) - 1), st.integers(0, 7),
+           st.booleans())
+    def prop(pos, bit, truncate):
+        data = bytearray(base)
+        if truncate:
+            data = data[:pos]
+        else:
+            data[pos] ^= 1 << bit
+        try:
+            out = decode_jpeg_gray(bytes(data))
+            assert out.shape == (24, 24)
+        except (ValueError, struct.error, IndexError):
+            pass  # the exceptions decode_media quarantines
+
+    prop()
