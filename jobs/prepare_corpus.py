@@ -50,6 +50,10 @@ def main(argv=None):
     p.add_argument("--group-col", default="source",
                    help="packing shard column (docs without it pack as "
                         "one shard)")
+    p.add_argument("--induce-lexicon", type=int, default=0, metavar="N",
+                   help="induce an orthography confusion table from the "
+                        "top-N corpus tokens (operators/lexicon.py) and "
+                        "normalize text with it before packing (0 = off)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -79,6 +83,20 @@ def main(argv=None):
         # probe scale; semi-join keyed on doc_id at corpus scale)
         surviving = docs.join(kept.select("doc_id", "pred_lang", "quality"),
                               "doc_id")
+        if args.induce_lexicon:
+            # corpus-induced orthography pass: lexicon from the surviving
+            # text (bounded-k collect), trie broadcast back — normalize
+            # BEFORE split/packing so n_tokens reflects the shipped text
+            from norsk_historisk_avis_ocr_spark.functions.udfs import (
+                make_normalize_udf,
+            )
+            from norsk_historisk_avis_ocr_spark.operators.lexicon import (
+                normalizer_from_corpus,
+            )
+            nz = normalizer_from_corpus(surviving,
+                                        top_n=args.induce_lexicon)
+            surviving = surviving.withColumn(
+                "text", make_normalize_udf(spark, nz)(F.col("text")))
         split = deterministic_split(
             surviving,
             weights=(("train", args.train), ("val", args.val),

@@ -188,7 +188,15 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
 
 
 def make_normalize_udf(spark, normalizer: OrthographyNormalizer):
-    """Standalone string→string normalization pandas UDF (broadcast trie)."""
+    """Standalone string→string normalization pandas UDF (broadcast trie).
+
+    The ``pd.Series`` type hints must be resolvable from this module's
+    globals when pyspark evaluates them (PEP 563 stringifies them here),
+    so pandas is imported at call time into the module namespace — a
+    function-local import leaves pyspark's hint resolver with bare
+    strings and an UNSUPPORTED_SIGNATURE error.
+    """
+    global pd
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -58,3 +58,27 @@ def test_normalizer_from_corpus_explicit_entries_win(spark):
     nz = normalizer_from_corpus(
         df, top_n=5, min_count=1, extra_table={"rnann": "menn"})
     assert nz.normalize("rnann") == "menn"
+
+
+def test_prepare_corpus_induced_lexicon_cli(spark, tmp_path):
+    """--induce-lexicon end to end: the job learns 'kommer' from the
+    corpus and rewrites the planted rn-misreading before packing."""
+    from jobs.prepare_corpus import main
+
+    base = ("kommer og det som på av ikke å jeg toget kommer hver dag "
+            "og kommer det som venter på av ikke å jeg")
+    rows = [(i, base, "s0") for i in range(8)]
+    rows.append((99, base + " kornmer til slutt", "s0"))
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string").write.parquet(inp)
+
+    main(["--input", inp, "--output", out, "--langs", "no",
+          "--min-quality", "0.0", "--budget", "64",
+          "--induce-lexicon", "20"])
+
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert "kornmer" not in got[99] and "kommer til slutt" in got[99]
+    assert got[0] == base  # already-clean text passes through unchanged
