@@ -1494,10 +1494,12 @@ FROM t
 """,
         # confusion-lexicon induction: whitespace tokens, edge punctuation
         # stripped (the normalizer's _PUNCT class), lowercase alphabetic
-        # ≥3 chars, top-50 by (count desc, token asc)
+        # ≥3 chars, top-50 by (count desc, token asc); EXTRAWS = the same
+        # unicode-space class members the Spark side splits on
         "lexicon_top_tokens": r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+  SELECT unnest(regexp_split_to_array(text, '[\sEXTRAWS]+')) AS tok
+  FROM documents
 ), cores AS (
   SELECT regexp_replace(regexp_replace(lower(tok),
            '^[.,;:!?«»"''()\[\]{}\-–—]+', ''),
@@ -1509,7 +1511,7 @@ WITH toks AS (
   GROUP BY token
 )
 SELECT token, cnt FROM freq ORDER BY cnt DESC, token ASC LIMIT 50
-""",
+""".replace("EXTRAWS", lx._EXTRA_WS),
         # hash-bucket split: thresholds over the portable hash of
         # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
         "corpus_split": f"""

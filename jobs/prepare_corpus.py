@@ -86,7 +86,11 @@ def main(argv=None):
         if args.induce_lexicon:
             # corpus-induced orthography pass: lexicon from the surviving
             # text (bounded-k collect), trie broadcast back — normalize
-            # BEFORE split/packing so n_tokens reflects the shipped text
+            # BEFORE split/packing so n_tokens reflects the shipped text.
+            # Persist first: the induction collect and the final write
+            # would otherwise each recompute the dedup→langid→quality
+            # lineage (the job's expensive UDF stages) from scratch.
+            surviving = surviving.persist()
             from norsk_historisk_avis_ocr_spark.functions.udfs import (
                 make_normalize_udf,
             )

@@ -38,6 +38,17 @@ from ..stages.normalize import (
 # both Java regex (Spark) and RE2 (DuckDB), so the oracle can share it.
 _PUNCT_CLASS = "[" + re.escape(_PUNCT) + "]"
 
+# Whitespace class matching Python's str-mode \s (the normalizer's
+# _WS_SPLIT) across Java regex AND RE2: both engines' bare \s is
+# ASCII-only (RE2's even lacks \x0b), so the unicode spaces Python splits
+# on — NBSP, ogham, en/em spaces, line/para separators, NNBSP, MMSP,
+# ideographic — are listed explicitly. (Python additionally treats the
+# \x1c-\x1f file separators as whitespace; those are left out — both
+# engines here agree with each other, which is what the oracle needs.)
+_EXTRA_WS = ("\u000b\u0085\u00a0\u1680\u2000-\u200a"
+             "\u2028\u2029\u202f\u205f\u3000")
+_WS_CLASS = "[\\s" + _EXTRA_WS + "]"
+
 # A lexicon word is a run of lowercase Norwegian letters. (Digits, mixed
 # scripts, and leftover markup never belong in a confusion lexicon.)
 _WORD_RE = "^[a-zæøå]+$"
@@ -59,7 +70,7 @@ def token_frequencies(docs: DataFrame, text_col: str = "text",
     One shuffle (the groupBy), partial-aggregated map-side; everything
     before it is a Project — scan-speed at any corpus size.
     """
-    tok = F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    tok = F.explode(F.split(F.col(text_col), _WS_CLASS + "+")).alias("tok")
     cores = docs.select(tok).select(token_core(F.col("tok")).alias("token"))
     return (cores
             .filter(F.col("token").rlike(_WORD_RE)
@@ -82,6 +93,7 @@ def corpus_lexicon(docs: DataFrame, text_col: str = "text",
 
 def normalizer_from_corpus(docs: DataFrame, text_col: str = "text",
                            top_n: int = 500, min_count: int = 2,
+                           vocab_n: int = 20000,
                            extra_table: dict[str, str] | None = None,
                            preserve: frozenset[str] = DEFAULT_PRESERVE,
                            ) -> OrthographyNormalizer:
@@ -89,8 +101,18 @@ def normalizer_from_corpus(docs: DataFrame, text_col: str = "text",
     normalizer. Hand-curated entries (``extra_table``, default the
     reference-derived ``DEFAULT_TABLE``) win over generated ones, and
     preserved 1950s forms are never rewrite *sources* (the normalizer checks
-    the preserve set before any trie walk)."""
-    lex = corpus_lexicon(docs, text_col, top_n=top_n, min_count=min_count)
-    table = build_confusion_table(lex)
+    the preserve set before any trie walk).
+
+    The top ``vocab_n`` corpus tokens (one collect serves both lists) veto
+    confusion variants that are themselves real words: a variant of a
+    frequent word can be a legitimate rarer word (``kom`` → variant
+    ``korn``), and without the veto every occurrence of it would be
+    rewritten corpus-wide."""
+    freq = token_frequencies(docs, text_col)
+    rows = (freq.filter(F.col("cnt") >= min_count)
+                .orderBy(F.desc("cnt"), F.asc("token"))
+                .limit(max(vocab_n, top_n)).collect())
+    toks = [r["token"] for r in rows]
+    table = build_confusion_table(toks[:top_n], vocab=set(toks))
     table.update(DEFAULT_TABLE if extra_table is None else extra_table)
     return OrthographyNormalizer(table, preserve)

@@ -146,7 +146,6 @@ class _PeekTable:
                 code += 1
                 k += 1
             code <<= 1
-        self.entry_np = entry  # vectorized bit-plane precompute path
         self.entry = entry.tolist()
 
 
@@ -294,15 +293,15 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
 
     segments, _end = _destuff(data, scan_start)
     luma = comps[0]
-    # per-component decode plan: (dc table, ac table, blocks/MCU, keep) —
-    # resolved once so the inner loop is pure local-variable work
+    # per-component decode plan: (dc entry list, ac entry list, blocks/MCU,
+    # keep) — resolved once so the inner loop is pure local-variable work
     plan = []
     for ci, comp in enumerate(comps):
         dc_t = htables.get((0, sel[comp["id"]][0]))
         ac_t = htables.get((1, sel[comp["id"]][1]))
         if dc_t is None or ac_t is None:
             raise ValueError("missing Huffman table")
-        plan.append((dc_t, ac_t, comp["v"] * comp["h"], ci == 0))
+        plan.append((dc_t.entry, ac_t.entry, comp["v"] * comp["h"], ci == 0))
 
     luma_blocks: list[list[int]] = []
     mcu = 0
@@ -370,7 +369,6 @@ def _decode_mcus_words(seg: bytes, plan, luma_blocks: list, mcu: int,
     cursor and its three per-symbol refill loops disappear."""
     zz = _ZZ_FLAT
     w = _segment_words(seg)
-    plan = [(d.entry, a.entry, nb, keep) for d, a, nb, keep in plan]
     n8 = len(seg) << 3
     i = 0
     preds = [0] * len(plan)
@@ -443,7 +441,6 @@ def _decode_mcus_scalar(seg: bytes, plan, luma_blocks: list, mcu: int,
     to ``luma_blocks``, chroma blocks are decoded for stream sync and
     discarded."""
     zz = _ZZ_FLAT
-    plan = [(d.entry, a.entry, nb, keep) for d, a, nb, keep in plan]
     n = len(seg)
     buf = nbits = pos = 0
     preds = [0] * len(plan)

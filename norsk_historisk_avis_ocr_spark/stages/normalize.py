@@ -178,6 +178,7 @@ CONFUSION_PAIRS: list[tuple[str, str]] = [
 
 def build_confusion_table(lexicon: list[str],
                           pairs: list[tuple[str, str]] = CONFUSION_PAIRS,
+                          vocab: set[str] | None = None,
                           ) -> dict[str, str]:
     """Expand a lexicon of *correct* historical-Norwegian words into a
     rewrite table: for each word, every single substitution of a confusion
@@ -187,8 +188,16 @@ def build_confusion_table(lexicon: list[str],
     Deterministic; collisions (a misreading reachable from two words, or a
     misreading that is itself a lexicon word) are dropped — the correction
     prompt's "if ambiguous, leave as-is" rule (``_correction.py:28-31``).
+
+    ``vocab``: optional wider set of known-real words that also veto
+    variants. Essential for corpus-induced lexicons: a variant of a
+    frequent word may itself be a real but rarer word (``korn`` is an
+    rn→m misreading shape of ``kom``) — without the veto every legitimate
+    occurrence would be rewritten corpus-wide.
     """
     lex = set(lexicon)
+    if vocab:
+        lex = lex | vocab
     table: dict[str, str] = {}
     ambiguous: set[str] = set()
     for word in lexicon:

@@ -82,3 +82,21 @@ def test_prepare_corpus_induced_lexicon_cli(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert "kornmer" not in got[99] and "kommer til slutt" in got[99]
     assert got[0] == base  # already-clean text passes through unchanged
+
+
+def test_token_frequencies_unicode_whitespace(spark):
+    # NBSP / narrow-NBSP / ideographic space split tokens exactly like the
+    # normalizer's Python \s does
+    df = _docs(spark, ["mann mann", "båt mann", "ord　ord"])
+    freq = {r["token"]: r["cnt"] for r in token_frequencies(df).collect()}
+    assert freq == {"mann": 3, "båt": 1, "ord": 2}
+
+
+def test_induced_variants_vetoed_by_corpus_vocabulary(spark):
+    # 'kom' is top-frequency; 'korn' is a real but rarer corpus word that
+    # happens to be an rn→m variant shape of 'kom' — the wider vocabulary
+    # must veto the rewrite or every 'korn' would be corrupted corpus-wide
+    df = _docs(spark, ["kom kom kom kom kom kom",
+                       "korn korn på låven"])
+    nz = normalizer_from_corpus(df, top_n=1, min_count=2, extra_table={})
+    assert nz.normalize("korn korn") == "korn korn"
