@@ -87,6 +87,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Deterministic pattern seeds for the PII audit/scrub contract queries
+# (apostrophe-free so the same literals embed in the DuckDB oracle).
+_SEED_A = (" Kontakt ola.nordmann@avis.no eller https://avis.no/arkiv "
+           "tlf +47 22 33 44 55.")
+_SEED_B = " Se http://eksempel.no/side?id=4 i dag."
+
+
+def _seed_patterns(docs: DataFrame) -> DataFrame:
+    seed = (F.when(F.col("doc_id") % 7 == 0, F.lit(_SEED_A))
+             .when(F.col("doc_id") % 5 == 0, F.lit(_SEED_B))
+             .otherwise(F.lit("")))
+    return docs.withColumn("text", F.concat(F.col("text"), seed))
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship query (driver smoke check)
 # ---------------------------------------------------------------------------
@@ -736,6 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_top_tokens":
             lambda s, sf: lx.token_frequencies(_t(s, sf, "documents"))
                 .orderBy(F.desc("cnt"), F.asc("token")).limit(50),
+        # PII-pattern audit + scrub over deterministically seeded text
+        # (the synthetic corpus plants no emails/URLs; the seed does)
+        "pattern_hygiene":
+            lambda s, sf: q.pattern_hygiene(
+                _seed_patterns(_t(s, sf, "documents"))),
+        "scrub_patterns":
+            lambda s, sf: q.scrub_patterns(
+                _seed_patterns(_t(s, sf, "documents")))
+                .select("doc_id", "text"),
         # -- corpus assembly (splits / sampling / packing) -------------------
         "corpus_split":
             lambda s, sf: cp.deterministic_split(
@@ -1512,6 +1535,42 @@ WITH toks AS (
 )
 SELECT token, cnt FROM freq ORDER BY cnt DESC, token ASC LIMIT 50
 """.replace("EXTRAWS", lx._EXTRA_WS),
+        # identical seeded text, identical patterns (shared Java/RE2
+        # syntax); DuckDB regexp_* need the explicit 'g' flag
+        "pattern_hygiene": r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN 'SEEDA'
+                      WHEN doc_id % 5 = 0 THEN 'SEEDB'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, 'EMAILRE')) AS BIGINT)
+         AS n_emails,
+       CAST(length(regexp_extract_all(text, 'URLRE')) AS BIGINT) AS n_urls,
+       CAST(length(regexp_extract_all(text, 'PHONERE')) AS BIGINT)
+         AS n_phones,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / GREATEST(length(text), 1), 6) AS digit_ratio
+FROM seeded
+""".replace("SEEDA", _SEED_A).replace("SEEDB", _SEED_B)
+   .replace("EMAILRE", q.EMAIL_RE).replace("URLRE", q.URL_RE)
+   .replace("PHONERE", q.PHONE_RE),
+        "scrub_patterns": r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN 'SEEDA'
+                      WHEN doc_id % 5 = 0 THEN 'SEEDB'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, 'URLRE', '[URL]', 'g'),
+                      'EMAILRE', '[EMAIL]', 'g') AS text
+FROM seeded
+""".replace("SEEDA", _SEED_A).replace("SEEDB", _SEED_B)
+   .replace("EMAILRE", q.EMAIL_RE).replace("URLRE", q.URL_RE),
         # hash-bucket split: thresholds over the portable hash of
         # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
         "corpus_split": f"""

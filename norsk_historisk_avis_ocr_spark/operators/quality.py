@@ -124,3 +124,39 @@ def stopword_ratios(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
          .alias("en_stopword_ratio"))
+
+
+# PII-ish pattern classes for corpus scrubbing. Conservative shared
+# Java-regex/RE2 syntax so the DuckDB oracle runs the identical patterns
+# (both engines' \s and char classes are ASCII here; leftmost greedy
+# matching agrees).
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9 \-]{6,}[0-9]"
+
+
+def pattern_hygiene(docs: DataFrame) -> DataFrame:
+    """Per-document counts of scrub-relevant pattern classes (emails,
+    URLs, phone-shaped digit runs) and the digit ratio — the pre-scrub
+    audit a training pipeline runs before masking. Pure column
+    expressions, shuffle-free, scan-speed."""
+    text = F.col("text")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.round(digits / F.greatest(F.length(text), F.lit(1)), 6)
+         .alias("digit_ratio"),
+    )
+
+
+def scrub_patterns(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails and URLs in ``text_col`` with typed placeholder tokens
+    (URLs first — an address inside a URL is part of the URL). Other
+    columns pass through; same plan shape as any projection."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), URL_RE, "[URL]"),
+        EMAIL_RE, "[EMAIL]")
+    return docs.withColumn(text_col, scrubbed)

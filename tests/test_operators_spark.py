@@ -363,3 +363,35 @@ def test_exact_quantiles_disc_semantics(spark):
     r = w.exact_quantiles(df).first()
     # n=4: q25 -> rank ceil(1)=1 -> 1.0; q50 -> rank 2 -> 2.0; q75 -> rank 3 -> 3.0
     assert (r.q25, r.q50, r.q75) == (1.0, 2.0, 3.0)
+
+
+def test_pattern_hygiene_counts_and_scrub(spark):
+    from norsk_historisk_avis_ocr_spark.operators.quality import (
+        pattern_hygiene, scrub_patterns,
+    )
+
+    rows = [
+        (1, "skriv til kari@avis.no eller se https://avis.no/x?y=1 "
+            "tlf +47 22 33 44 55"),
+        (2, "ingen kontaktinfo her, bare tekst fra 1950 og 1951"),
+        (3, "to adresser: a@b.no c@d.org og https://e.no/f@g.no"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pattern_hygiene(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_urls"], got[1]["n_phones"]) \
+        == (1, 1, 1)
+    assert got[2]["n_emails"] == 0 and got[2]["n_urls"] == 0
+    # f@g.no sits inside the URL: counted as an email match too (the URL
+    # regex does not own it for counting), but scrubbed as part of the URL
+    assert got[3]["n_emails"] == 3 and got[3]["n_urls"] == 1
+
+    scrubbed = {r["doc_id"]: r["text"]
+                for r in scrub_patterns(df).collect()}
+    assert "[EMAIL]" in scrubbed[1] and "[URL]" in scrubbed[1]
+    assert "kari@avis.no" not in scrubbed[1]
+    assert "avis.no/x" not in scrubbed[1]
+    assert scrubbed[2] == rows[1][1]  # untouched text passes through
+    # URL masked first, so the embedded address went with it
+    assert scrubbed[3].endswith("a@b.no c@d.org og [URL]"
+                                .replace("a@b.no c@d.org",
+                                         "[EMAIL] [EMAIL]"))
