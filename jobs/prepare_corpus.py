@@ -54,6 +54,9 @@ def main(argv=None):
                    help="induce an orthography confusion table from the "
                         "top-N corpus tokens (operators/lexicon.py) and "
                         "normalize text with it before packing (0 = off)")
+    p.add_argument("--scrub", action="store_true",
+                   help="mask emails/URLs in text with typed placeholders "
+                        "(operators/quality.scrub_patterns)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -83,6 +86,14 @@ def main(argv=None):
         # probe scale; semi-join keyed on doc_id at corpus scale)
         surviving = docs.join(kept.select("doc_id", "pred_lang", "quality"),
                               "doc_id")
+        if args.scrub:
+            # scrub before any lexicon induction: placeholder tokens must
+            # not enter the frequency table, and n_tokens must count the
+            # shipped (masked) text
+            from norsk_historisk_avis_ocr_spark.operators.quality import (
+                scrub_patterns,
+            )
+            surviving = scrub_patterns(surviving)
         if args.induce_lexicon:
             # corpus-induced orthography pass: lexicon from the surviving
             # text (bounded-k collect), trie broadcast back — normalize

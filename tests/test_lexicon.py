@@ -100,3 +100,20 @@ def test_induced_variants_vetoed_by_corpus_vocabulary(spark):
                        "korn korn på låven"])
     nz = normalizer_from_corpus(df, top_n=1, min_count=2, extra_table={})
     assert nz.normalize("korn korn") == "korn korn"
+
+
+def test_prepare_corpus_scrub_cli(spark, tmp_path):
+    from jobs.prepare_corpus import main
+
+    base = ("og det som på av ikke å jeg skriver til kari@avis.no om "
+            "https://avis.no/arkiv og det som på av ikke")
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, base, "s0")],
+                          "doc_id long, text string, source string") \
+        .write.parquet(inp)
+    main(["--input", inp, "--output", out, "--langs", "no",
+          "--min-quality", "0.0", "--budget", "64", "--scrub"])
+    text = spark.read.parquet(out).first()["text"]
+    assert "[EMAIL]" in text and "[URL]" in text
+    assert "kari@avis.no" not in text and "avis.no/arkiv" not in text
