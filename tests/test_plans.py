@@ -177,3 +177,36 @@ def test_bucketed_join_is_shuffle_free(spark, pages_parquet, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS pages_b")
         spark.sql("DROP TABLE IF EXISTS done_b")
+
+
+def test_pattern_ops_are_shuffle_free(spark, sf_dir):
+    """PII audit and scrub are pure projections: zero Exchanges, filters
+    and counts all inside whole-stage codegen."""
+    import os
+
+    from norsk_historisk_avis_ocr_spark.operators.quality import (
+        pattern_hygiene, scrub_patterns,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert "Exchange" not in _plan(pattern_hygiene(docs))
+    assert "Exchange" not in _plan(scrub_patterns(docs))
+
+
+def test_lexicon_frequency_plan_is_one_aggregation(spark, sf_dir):
+    """Token-frequency induction is the classic word-count plan: exactly
+    one hash-partitioned Exchange (partial agg map-side), plus the
+    single-partition gather for the bounded top-N."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from norsk_historisk_avis_ocr_spark.operators.lexicon import (
+        token_frequencies,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    freq = token_frequencies(docs)
+    plan = _plan(freq)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    topn = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(50)
+    assert "TakeOrderedAndProject" in _plan(topn), _plan(topn)
