@@ -759,6 +759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: q.scrub_patterns(
                 _seed_patterns(_t(s, sf, "documents")))
                 .select("doc_id", "text"),
+        # corpus-relative fluency: fraction of a doc's char bigrams that
+        # are common corpus-wide (integer-exact perplexity analog)
+        "bigram_familiarity":
+            lambda s, sf: q.bigram_familiarity(_t(s, sf, "documents"),
+                                               min_count=200),
         # -- corpus assembly (splits / sampling / packing) -------------------
         "corpus_split":
             lambda s, sf: cp.deterministic_split(
@@ -1571,6 +1576,28 @@ SELECT doc_id,
 FROM seeded
 """.replace("SEEDA", _SEED_A).replace("SEEDB", _SEED_B)
    .replace("EMAILRE", q.EMAIL_RE).replace("URLRE", q.URL_RE),
+        # integer-exact familiarity: char bigrams via range+list_transform
+        # (DuckDB 1.0 has no lateral generate_series); docs shorter than
+        # 2 chars have no bigrams and are absent on both sides
+        "bigram_familiarity": """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t)),
+                               i -> substring(t, i, 2))) AS bigram
+  FROM d WHERE length(t) >= 2
+),
+cnts AS (SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY bigram),
+common AS (SELECT bigram FROM cnts WHERE cnt >= 200)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.bigram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_common,
+       ROUND(SUM(CASE WHEN c.bigram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS familiarity
+FROM bi b LEFT JOIN common c ON b.bigram = c.bigram
+GROUP BY b.doc_id
+""",
         # hash-bucket split: thresholds over the portable hash of
         # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
         "corpus_split": f"""

@@ -160,3 +160,60 @@ def scrub_patterns(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.col(text_col), URL_RE, "[URL]"),
         EMAIL_RE, "[EMAIL]")
     return docs.withColumn(text_col, scrubbed)
+
+
+def char_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level character-bigram counts over lowercased text.
+
+    The explode emits length−1 rows per document, but the groupBy's
+    map-side partial aggregation collapses them to the (tiny) bigram
+    vocabulary before the one shuffle — the word-count plan at character
+    granularity. Docs shorter than 2 chars contribute nothing.
+    """
+    t = F.lower(F.col(text_col))
+    # sequence(1, 0) would be DESCENDING in Spark — guard short docs
+    grams = F.when(
+        F.length(t) >= 2,
+        F.expr(f"transform(sequence(1, length(lower({text_col})) - 1), "
+               f"i -> substring(lower({text_col}), i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(grams).alias("bigram"))
+                .groupBy("bigram").agg(F.count("*").alias("cnt")))
+
+
+def bigram_familiarity(docs: DataFrame, min_count: int = 100,
+                       text_col: str = "text") -> DataFrame:
+    """Corpus-relative fluency score: the fraction of a document's
+    character bigrams that are *common* in the corpus (count ≥
+    ``min_count``). OCR garbage and mojibake are full of rare character
+    combinations, so low familiarity flags them — a perplexity-style
+    signal built from integer counting only (log-based scores are not
+    portable across engines bit-for-bit; this is, and its oracle is
+    value-exact).
+
+    Plan: one bigram-count aggregation (shared with
+    :func:`char_bigram_counts`), a broadcast join of the small common-
+    bigram set against the exploded doc bigrams, and one groupBy on
+    doc_id — two shuffles total at any corpus size. Docs with fewer than
+    2 characters have no bigrams and are absent from the output (same
+    contract as the oracle).
+    """
+    common = (char_bigram_counts(docs, text_col)
+              .filter(F.col("cnt") >= min_count).select("bigram"))
+    t = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= 2,
+        F.expr(f"transform(sequence(1, length(lower({text_col})) - 1), "
+               f"i -> substring(lower({text_col}), i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = docs.select("doc_id", F.explode(grams).alias("bigram"))
+    flagged = doc_grams.join(
+        F.broadcast(common.withColumn("is_common", F.lit(1))),
+        "bigram", "left")
+    return (flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("is_common"), F.lit(0))).alias("n_common"))
+        .select(
+            "doc_id", "n_bigrams", "n_common",
+            F.round(F.col("n_common") / F.col("n_bigrams"), 6)
+             .alias("familiarity")))

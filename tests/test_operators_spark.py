@@ -395,3 +395,21 @@ def test_pattern_hygiene_counts_and_scrub(spark):
     assert scrubbed[3].endswith("a@b.no c@d.org og [URL]"
                                 .replace("a@b.no c@d.org",
                                          "[EMAIL] [EMAIL]"))
+
+
+def test_bigram_familiarity_flags_garbage(spark):
+    from norsk_historisk_avis_ocr_spark.operators.quality import (
+        bigram_familiarity,
+    )
+
+    clean = "det er en helt vanlig norsk setning om dagen og veien"
+    rows = [(i, clean) for i in range(6)]
+    rows.append((100, "qz xq zq jw wj qx zx xz qq zz"))  # rare bigrams
+    rows.append((101, "a"))  # shorter than one bigram: absent from output
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_familiarity(df, min_count=5).collect()}
+    assert 101 not in got
+    assert got[0]["familiarity"] == 1.0  # every bigram common by repetition
+    assert got[100]["familiarity"] < 0.5  # garbage text scores low
+    assert got[100]["n_bigrams"] > got[100]["n_common"]
