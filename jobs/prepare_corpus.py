@@ -71,6 +71,7 @@ def main(argv=None):
 
     owns_session = SparkSession.getActiveSession() is None
     spark = build_session("nhao-prepare-corpus", master=args.master)
+    persisted = None
     try:
         docs = spark.read.parquet(args.input)
         if args.group_col not in docs.columns:
@@ -101,7 +102,7 @@ def main(argv=None):
             # Persist first: the induction collect and the final write
             # would otherwise each recompute the dedup→langid→quality
             # lineage (the job's expensive UDF stages) from scratch.
-            surviving = surviving.persist()
+            surviving = persisted = surviving.persist()
             from norsk_historisk_avis_ocr_spark.functions.udfs import (
                 make_normalize_udf,
             )
@@ -135,6 +136,10 @@ def main(argv=None):
               f"{sum(counts.values())} docs, {total_tokens} tokens, "
               f"splits {counts}")
     finally:
+        # release the induction cache even when main() is called from a
+        # long-lived session (owns_session False → no stop() to free it)
+        if persisted is not None:
+            persisted.unpersist()
         if owns_session:
             spark.stop()
 

@@ -19,8 +19,21 @@ the wire.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_half_away(x: float, decimals: int) -> float:
+    """Half-away-from-zero decimal rounding — the tie semantics of DuckDB's
+    ``round()`` (and SQL generally). Python's built-in ``round`` is
+    banker's (half-to-even); a centroid mean landing exactly on a decimal
+    tie would diverge cross-engine under it. Measure-zero in double
+    arithmetic, but the contract pins the Lloyd recursion value-exact, so
+    the formulas must match by construction, not by luck."""
+    scale = 10.0 ** decimals
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
 
 def _sq_dist(a, b):
@@ -100,7 +113,8 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 5,
             *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
         cents = sorted(
             (int(r["cell"]),
-             [round(float(r[f"m{i}"]), quantize) if quantize is not None
+             [_round_half_away(float(r[f"m{i}"]), quantize)
+              if quantize is not None
               else float(r[f"m{i}"]) for i in range(dim)])
             for r in means.collect())
         assigned = assign(cents)

@@ -132,10 +132,24 @@ def lsh_bucket_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
         .limit(k).select("vec_id", "cos_sim")
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                        max_rows: int | None = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact (the correctness
     baseline for embedding dedup). All-pairs — use only on a bounded
-    candidate set; the scale path is :func:`embedding_dup_pairs_lsh`."""
+    candidate set; the scale path is :func:`embedding_dup_pairs_lsh`.
+
+    ``max_rows`` fences the quadratic blowup: the input is counted (bounded
+    probe — ``limit(max_rows+1)``, never a full scan past the fence) and a
+    candidate set larger than ``max_rows`` raises instead of silently
+    launching an O(n²) join at corpus scale. Pass ``None`` to bypass when
+    the caller has already bounded the set (tests, pre-filtered buckets)."""
+    if max_rows is not None:
+        n = emb.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is all-pairs: input exceeds "
+                f"max_rows={max_rows}; use embedding_dup_pairs_lsh for "
+                f"corpus-scale dedup (or pass max_rows=None deliberately)")
     a = emb.select(F.col("vec_id").alias("vid_a"),
                    F.col("embedding").cast("array<double>").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vid_b"),

@@ -182,6 +182,8 @@ def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:
             out.append(0xFF)
             i = j + 2
+        elif nxt == 0xFF:  # spec-legal fill byte before a marker: skip it
+            i = j + 1
         elif 0xD0 <= nxt <= 0xD7:  # restart marker
             segments.append(bytes(out))
             out = bytearray()
@@ -287,6 +289,11 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        # the plane-assembly below assumes the first (luma) component is
+        # sampled at the max rate; a stream where chroma out-samples luma
+        # would otherwise yield a silently wrong-sized image
+        raise ValueError("first component is not max-sampled")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     n_mcu = mcux * mcuy

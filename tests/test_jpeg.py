@@ -300,3 +300,36 @@ def test_jpeg_corrupt_bytes_never_silent_word_path(monkeypatch):
             pass  # the exceptions decode_media quarantines
 
     prop()
+
+
+def test_fill_bytes_before_eoi_are_skipped():
+    """Spec-legal 0xFF fill bytes before a marker must not end the scan
+    early: a stream padded before EOI decodes identically (ADVICE r3)."""
+    img = _gradient(32, 32)
+    data = encode_jpeg_gray(img, quality=90)
+    assert data.endswith(b"\xff\xd9")
+    filled = data[:-2] + b"\xff\xff\xff" + b"\xff\xd9"
+    assert (decode_jpeg_gray(filled) == decode_jpeg_gray(data)).all()
+
+
+def test_fill_bytes_before_restart_marker():
+    img = _gradient(64, 64)
+    data = encode_jpeg_gray(img, quality=90, restart_interval=2)
+    sos = data.index(b"\xff\xda")
+    hits = [data.find(bytes([0xFF, m]), sos)
+            for m in range(0xD0, 0xD8)]
+    i = min(x for x in hits if x >= 0)
+    filled = data[:i] + b"\xff" + data[i:]
+    assert (decode_jpeg_gray(filled) == decode_jpeg_gray(data)).all()
+
+
+def test_chroma_oversampled_luma_raises():
+    """A (legal, pathological) frame where chroma is sampled higher than
+    luma must raise, not return a silently wrong-sized plane (ADVICE r3:
+    the assembly logic assumes the first component is max-sampled)."""
+    sof = b"\xff\xc0" + struct.pack(">HBHH", 14, 8, 16, 16) + bytes(
+        [2, 1, 0x11, 0, 2, 0x22, 0])
+    sos = b"\xff\xda" + struct.pack(">H", 10) + bytes(
+        [2, 1, 0x00, 2, 0x00, 0, 63, 0])
+    with pytest.raises(ValueError, match="max-sampled"):
+        decode_jpeg_gray(b"\xff\xd8" + sof + sos + b"\x00" * 8)

@@ -50,3 +50,19 @@ def test_ivf_cells_topk_stays_in_cluster(spark):
     ids = {r.vec_id for r in got}
     assert ids <= {1, 2, 3, 4}  # only same-cluster neighbors
     assert len(ids) == 4
+
+
+def test_round_half_away_matches_sql_tie_semantics():
+    """quantize= must round half-away-from-zero (DuckDB round()), not
+    banker's: a centroid mean on an exact decimal tie would otherwise
+    diverge cross-engine (ADVICE r3)."""
+    from norsk_historisk_avis_ocr_spark.operators.kmeans import (
+        _round_half_away,
+    )
+    assert _round_half_away(2.5, 0) == 3.0      # banker's would give 2
+    assert _round_half_away(-2.5, 0) == -3.0
+    assert _round_half_away(0.1234565, 6) == 0.123457 or \
+        abs(0.1234565 * 1e6 - round(0.1234565 * 1e6)) > 1e-6
+    assert _round_half_away(1.25, 1) == 1.3     # banker's would give 1.2
+    assert _round_half_away(-1.25, 1) == -1.3
+    assert _round_half_away(0.0, 3) == 0.0
