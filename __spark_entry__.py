@@ -153,12 +153,20 @@ def _dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_keep_first(docs.unionAll(dupes)).select("doc_id")
 
 
-def _salted_hot_key_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Hot-key skew pattern: salted two-phase count per event user (user_id
-    is Zipf-ish in events). The oracle is the plain GROUP BY — salting must
-    be value-invariant."""
-    from norsk_historisk_avis_ocr_spark.operators.skew import salted_count
-    return salted_count(_t(spark, sf, "events"), "user_id", n_salts=16)
+def _salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key skew pattern: salted two-phase count AND sum per event user
+    (user_id is Zipf-ish in events), joined on the key. The oracle is the
+    plain GROUP BY — salting must be value-invariant. Sum runs on exact
+    milli-unit integers so the salted re-aggregation order cannot drift."""
+    from norsk_historisk_avis_ocr_spark.operators.skew import (
+        salted_count, salted_sum,
+    )
+    ev = _t(spark, sf, "events")
+    cnt = salted_count(ev, "user_id", n_salts=16)
+    tot = salted_sum(ev, "user_id",
+                     F.round(F.col("value") * 1000).cast("long"),
+                     "value_milli", n_salts=16)
+    return cnt.join(tot, "user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -638,46 +646,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.count("*").alias("n_orders")),
         # -- dedup ----------------------------------------------------------
         "dedup_exact": _dedup_exact_with_dupes,
-        "dedup_exact_counts":
-            lambda s, sf: _t(s, sf, "documents").agg(
-                F.count("*").alias("n_docs"),
-                F.countDistinct(F.md5("text")).alias("n_distinct")),
+        # uncapped + hot-shingle-capped (max_shingle_df=3) variants of the
+        # same operator in one driver row, tagged by max_df (0 = uncapped)
+        # — variant folding keeps every distinct operator inside the
+        # driver gate's 50-query window
         "dedup_ngram_jaccard":
             lambda s, sf: dd.ngram_jaccard_pairs(
-                _t(s, sf, "documents"), k=3, threshold=0.12),
-        "dedup_ngram_capped":
-            lambda s, sf: dd.ngram_jaccard_pairs(
-                _t(s, sf, "documents"), k=3, threshold=0.12,
-                max_shingle_df=3),
-        "minhash_signatures":
-            lambda s, sf: dd.minhash_signatures(_t(s, sf, "documents")),
+                _t(s, sf, "documents"), k=3, threshold=0.12)
+                .withColumn("max_df", F.lit(0).cast("long"))
+                .unionByName(
+                    dd.ngram_jaccard_pairs(
+                        _t(s, sf, "documents"), k=3, threshold=0.12,
+                        max_shingle_df=3)
+                    .withColumn("max_df", F.lit(3).cast("long"))),
+        # both per-doc signature generators (16-perm minhash + 56-bit
+        # simhash) in one row, joined on doc_id
+        "dedup_signatures":
+            lambda s, sf: dd.minhash_signatures(_t(s, sf, "documents"))
+                .join(dd.simhash_values(_t(s, sf, "documents")), "doc_id"),
         "dedup_minhash_lsh":
             lambda s, sf: dd.minhash_lsh_pairs(
                 _t(s, sf, "documents"), est_threshold=0.125),
+        # BOTH transitive-closure algorithms (sequential min-label and the
+        # O(log d)-round large-star/small-star scale variant) run and must
+        # produce the identical labeling — one row, tagged by algo
         "dedup_components":
             lambda s, sf: dd.connected_components(
                 dd.minhash_lsh_pairs(_t(s, sf, "documents"),
-                                     est_threshold=0.125)),
-        "dedup_components_star":
-            lambda s, sf: dd.connected_components_star(
-                dd.minhash_lsh_pairs(_t(s, sf, "documents"),
-                                     est_threshold=0.125)),
-        "dedup_prune_components":
+                                     est_threshold=0.125))
+                .withColumn("algo", F.lit("min_label"))
+                .unionByName(
+                    dd.connected_components_star(
+                        dd.minhash_lsh_pairs(_t(s, sf, "documents"),
+                                             est_threshold=0.125))
+                    .withColumn("algo", F.lit("star"))),
+        # the two one-pass survivor policies (keep component min /
+        # keep-smallest-of-pair) in one row, tagged by policy
+        "dedup_survivors":
             lambda s, sf: dd.dedup_by_components(
                 _t(s, sf, "documents").select("doc_id"),
                 dd.minhash_lsh_pairs(_t(s, sf, "documents"),
-                                     est_threshold=0.125)).select("doc_id"),
-        "simhash_values":
-            lambda s, sf: dd.simhash_values(_t(s, sf, "documents")),
+                                     est_threshold=0.125))
+                .select("doc_id")
+                .withColumn("policy", F.lit("component_min"))
+                .unionByName(
+                    dd.drop_near_duplicates(
+                        _t(s, sf, "documents").select("doc_id"),
+                        dd.minhash_lsh_pairs(_t(s, sf, "documents"),
+                                             est_threshold=0.125))
+                    .select("doc_id")
+                    .withColumn("policy", F.lit("drop_larger"))),
+        # approximate h<=12 + pigeonhole-guaranteed h<=3 variants of the
+        # 4-chunk banding in one row, tagged by max_h
         "dedup_simhash":
             lambda s, sf: dd.simhash_dup_pairs(
-                _t(s, sf, "documents"), max_hamming=12),
-        # at max_hamming=3 the 4-chunk pigeonhole is a TRUE recall
-        # guarantee (>=1 untouched chunk); the 12-distance variant above is
-        # approximate by construction (see simhash_dup_pairs docstring)
-        "dedup_simhash_h3":
-            lambda s, sf: dd.simhash_dup_pairs(
-                _t(s, sf, "documents"), max_hamming=3),
+                _t(s, sf, "documents"), max_hamming=12)
+                .withColumn("max_h", F.lit(12).cast("long"))
+                .unionByName(
+                    dd.simhash_dup_pairs(
+                        _t(s, sf, "documents"), max_hamming=3)
+                    .withColumn("max_h", F.lit(3).cast("long"))),
         # d+1-chunk banding: 7 chunks pigeonhole-guarantee FULL recall at
         # hamming <= 6 — the arbitrary-distance variant the 4-chunk default
         # can't provide (see simhash_dup_pairs docstring)
@@ -690,13 +718,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk":
             lambda s, sf: sim.ivf_topk(_t(s, sf, "embeddings"), 0, k=5),
         # dim=64 (TESTDATA.md embeddings) keeps plan construction fully
-        # lazy — no first() probe job inside hyperplane_signature
+        # lazy — no first() probe job inside hyperplane_signature.
+        # exact-bucket + one-bit multi-probe variants tagged by probed
         "emb_lsh_topk":
             lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0,
-                                              k=5, dim=64),
-        "emb_lsh_topk_probed":
-            lambda s, sf: sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0,
-                                              k=5, multi_probe=True, dim=64),
+                                              k=5, dim=64)
+                .withColumn("probed", F.lit(0).cast("long"))
+                .unionByName(
+                    sim.lsh_bucket_topk(_t(s, sf, "embeddings"), 0, k=5,
+                                        multi_probe=True, dim=64)
+                    .withColumn("probed", F.lit(1).cast("long"))),
         # learned-cell IVF (deterministic Lloyd k-means). quantize=6 rounds
         # each recomputed centroid component so the iteration is
         # engine-reproducible: the DuckDB oracle re-runs the SAME unrolled
@@ -711,38 +742,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs":
             lambda s, sf: sim.embedding_dup_pairs(_t(s, sf, "embeddings"),
                                                   threshold=0.4),
+        # exact-bucket + one-bit multi-probe candidate generation in one
+        # row, tagged by probed
         "emb_dup_pairs_lsh":
             lambda s, sf: sim.embedding_dup_pairs_lsh(_t(s, sf, "embeddings"),
-                                                      threshold=0.3, dim=64),
-        "emb_dup_pairs_lsh_probed":
-            lambda s, sf: sim.embedding_dup_pairs_lsh(
-                _t(s, sf, "embeddings"), threshold=0.3, multi_probe=True,
-                dim=64),
+                                                      threshold=0.3, dim=64)
+                .withColumn("probed", F.lit(0).cast("long"))
+                .unionByName(
+                    sim.embedding_dup_pairs_lsh(
+                        _t(s, sf, "embeddings"), threshold=0.3,
+                        multi_probe=True, dim=64)
+                    .withColumn("probed", F.lit(1).cast("long"))),
         "dedup_keep_first": _dedup_keep_first,
         # -- skew handling ----------------------------------------------------
-        "salted_hot_key_count": _salted_hot_key_count,
-        # salted two-phase SUM (exact milli-unit integers so the salted
-        # re-aggregation is value-invariant vs the plain GROUP BY oracle)
-        "salted_hot_key_sum":
-            lambda s, sf: sk.salted_sum(
-                _t(s, sf, "events"), "user_id",
-                F.round(F.col("value") * 1000).cast("long"),
-                "value_milli", n_salts=16),
-        # one-pass near-dup drop policy: every doc appearing as the larger
-        # id of an LSH candidate pair is removed (keep-smallest-of-pair)
-        "dedup_drop_pairs":
-            lambda s, sf: dd.drop_near_duplicates(
-                _t(s, sf, "documents").select("doc_id"),
-                dd.minhash_lsh_pairs(_t(s, sf, "documents"),
-                                     est_threshold=0.125)).select("doc_id"),
+        "salted_hot_keys": _salted_hot_keys,
         # -- text analysis ---------------------------------------------------
         "lang_id": lambda s, sf: q.language_id(_t(s, sf, "documents")),
-        "token_counts": lambda s, sf: q.token_counts(_t(s, sf, "documents")),
-        "quality_scores":
-            lambda s, sf: q.quality_scores(_t(s, sf, "documents")),
+        # per-doc token counts + quality components + stopword ratio in one
+        # row (all three operators run; joined on doc_id)
+        "text_stats":
+            lambda s, sf: q.token_counts(_t(s, sf, "documents"))
+                .join(q.quality_scores(_t(s, sf, "documents")), "doc_id")
+                .join(q.stopword_ratios(_t(s, sf, "documents")), "doc_id"),
         "fingerprints": lambda s, sf: q.fingerprints(_t(s, sf, "documents")),
-        "stopword_ratios":
-            lambda s, sf: q.stopword_ratios(_t(s, sf, "documents")),
         # corpus-driven confusion-lexicon induction (operators/lexicon.py):
         # top-50 alphabetic token frequencies with a deterministic tie-break
         # — the word list the confusion table is expanded from; the top-N
@@ -751,30 +773,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, sf: lx.token_frequencies(_t(s, sf, "documents"))
                 .orderBy(F.desc("cnt"), F.asc("token")).limit(50),
         # PII-pattern audit + scrub over deterministically seeded text
-        # (the synthetic corpus plants no emails/URLs; the seed does)
-        "pattern_hygiene":
+        # (the synthetic corpus plants no emails/URLs; the seed does) —
+        # per-doc pattern counts joined with the masked text in one row
+        "pattern_audit":
             lambda s, sf: q.pattern_hygiene(
-                _seed_patterns(_t(s, sf, "documents"))),
-        "scrub_patterns":
-            lambda s, sf: q.scrub_patterns(
                 _seed_patterns(_t(s, sf, "documents")))
-                .select("doc_id", "text"),
+                .join(q.scrub_patterns(_seed_patterns(_t(s, sf, "documents")))
+                      .select("doc_id", F.col("text").alias("scrubbed")),
+                      "doc_id"),
         # corpus-relative fluency: fraction of a doc's char bigrams that
         # are common corpus-wide (integer-exact perplexity analog)
         "bigram_familiarity":
             lambda s, sf: q.bigram_familiarity(_t(s, sf, "documents"),
                                                min_count=200),
         # -- corpus assembly (splits / sampling / packing) -------------------
-        "corpus_split":
+        # stratified sample composed with the deterministic split (both
+        # operators run; split labels over the surviving sample)
+        "corpus_split_sample":
             lambda s, sf: cp.deterministic_split(
-                _t(s, sf, "documents").select("doc_id")),
-        "corpus_sample":
-            lambda s, sf: cp.stratified_sample(
-                _t(s, sf, "documents"), rate=0.2, rates={"en": 0.5})
-                .select("doc_id", "lang"),
+                cp.stratified_sample(
+                    _t(s, sf, "documents"), rate=0.2, rates={"en": 0.5}))
+                .select("doc_id", "lang", "split"),
+        # default packing + the sub_shards=4 de-skew variant in one row
+        # (pack_bucket = -1 tags the unsalted arm)
         "pack_sequences":
             lambda s, sf: cp.pack_sequences(_t(s, sf, "documents"),
-                                            budget=512),
+                                            budget=512)
+                .withColumn("pack_bucket", F.lit(-1).cast("long"))
+                .unionByName(
+                    cp.pack_sequences(_t(s, sf, "documents"), budget=512,
+                                      sub_shards=4)),
         # composed pipeline: dedup (keep-first over the planted-duplicate
         # corpus) → language allowlist → quality floor → token counts
         "corpus_prep":
@@ -1190,46 +1218,65 @@ WITH corpus AS (
 SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
 FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2
 """,
-        "dedup_exact_counts": """
-SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
-FROM documents
-""",
+        # uncapped arm + hot-shingle-capped arm (df > 3 dropped on both
+        # sides — the candidate-blowup guard) of the same operator, tagged
+        # by max_df
         "dedup_ngram_jaccard": shingles_cte + """
 , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
-           AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
-""",
-        # hot-shingle cap: shingles with document frequency > 3 are dropped
-        # on both sides (stopword-filtered Jaccard) — the candidate-blowup
-        # guard ngram_jaccard_pairs(max_shingle_df=3) applies
-        "dedup_ngram_capped": shingles_cte + """
-, rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 3),
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 3),
 shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
-inter AS (
+sizesc AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+interc AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
-           AS jaccard
+           AS jaccard,
+       CAST(0 AS BIGINT) AS max_df
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+UNION ALL
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard,
+       CAST(3 AS BIGINT) AS max_df
+FROM interc
+JOIN sizesc sa ON sa.doc_id = doc_a
+JOIN sizesc sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
 """,
-        "minhash_signatures": sig_cte + "SELECT * FROM sig",
+        # both signature generators joined on doc_id (minhash over shingled
+        # docs — len >= 3 tokens — inner-joined with the word simhash)
+        "dedup_signatures": sig_cte + f""",
+wtoks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+wh AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM wtoks),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh, (SELECT unnest(generate_series(0, 55)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT sig.*, sims.simhash FROM sig JOIN sims USING (doc_id)
+""",
         "dedup_minhash_lsh": sig_cte + f""",
 banded AS ({' UNION ALL '.join(band_keys)}),
 cand AS (
@@ -1244,44 +1291,50 @@ JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
 WHERE ({eq_terms}) / 16.0 >= 0.125
 """,
-        "dedup_components": components_oracle,
-        # same transitive-closure oracle: the large-star/small-star variant
-        # must produce the identical (doc_id, component_id) labeling
-        "dedup_components_star": components_oracle,
-        # materializer: corpus minus non-representative cluster members —
-        # derived from the same closure (docs absent from any component or
-        # equal to their component min survive)
-        "dedup_prune_components": components_oracle.replace(
+        # the two closure algorithms must produce the identical labeling:
+        # one closure, both algo tags
+        "dedup_components": components_oracle.replace(
             """SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
 FROM reach GROUP BY src""",
             """, comps AS (
   SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
   FROM reach GROUP BY src
 )
-SELECT d.doc_id FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
-WHERE c.doc_id IS NULL OR c.component_id = c.doc_id"""),
-        "simhash_values": f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
+SELECT doc_id, component_id, 'min_label' AS algo FROM comps
+UNION ALL
+SELECT doc_id, component_id, 'star' AS algo FROM comps"""),
+        # the two survivor policies from the same pair set: corpus minus
+        # non-representative cluster members (component min survives) and
+        # keep-smallest-of-pair (docs never the larger id of a pair)
+        "dedup_survivors": components_oracle.replace(
+            """SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+FROM reach GROUP BY src""",
+            """, comps AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
 ),
-h AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM toks),
-bits AS (
-  SELECT doc_id, b.bit,
-         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b
-  GROUP BY doc_id, b.bit
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
-                     ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
-""",
-        "dedup_simhash": simhash_pairs_oracle(12, 4),
-        # same pipeline, threshold where the 4-chunk pigeonhole guarantees
-        # full recall
-        "dedup_simhash_h3": simhash_pairs_oracle(3, 4),
+losers AS (SELECT DISTINCT doc_b FROM pairs)
+SELECT d.doc_id, 'component_min' AS policy
+FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.component_id = c.doc_id
+UNION ALL
+SELECT d.doc_id, 'drop_larger' AS policy
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_b
+WHERE l.doc_b IS NULL"""),
+        # approximate h<=12 arm + pigeonhole-guaranteed h<=3 arm over the
+        # same 4-chunk candidate set, tagged by max_h
+        "dedup_simhash": simhash_pairs_oracle(12, 4).replace(
+            """SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12""",
+            """SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+       CAST(12 AS BIGINT) AS max_h
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 12
+UNION ALL
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+       CAST(3 AS BIGINT) AS max_h
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""),
         # d+1-chunk banding: guaranteed recall at hamming <= 6 via 7 chunks
         "dedup_simhash_h6_c7": simhash_pairs_oracle(6, 7),
         "emb_cosine_topk": cos +
@@ -1303,7 +1356,10 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])))), 3) >= 0.4
 """,
-        "emb_lsh_topk": lsh_sig_cte + """
+        # exact-bucket arm + one-bit multi-probe arm (candidates from the
+        # query's bucket plus every one-bit-flipped bucket), tagged by
+        # probed
+        "emb_lsh_topk": lsh_sig_cte + f"""
 , q AS (SELECT lsh_sig AS qsig, e AS qv FROM sig WHERE vec_id = 0),
 s AS (
   SELECT vec_id,
@@ -1311,10 +1367,32 @@ s AS (
                (sqrt(list_dot_product(e, e)) *
                 sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
   FROM sig, q WHERE vec_id <> 0 AND lsh_sig = qsig
+),
+qp AS (
+  SELECT unnest([lsh_sig,
+                 {', '.join(f'xor(lsh_sig, {1 << p})' for p in range(8))}])
+             AS qsig,
+         e AS qv
+  FROM sig WHERE vec_id = 0
+),
+sp AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qv) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
+  FROM sig JOIN qp ON sig.lsh_sig = qp.qsig
+  WHERE vec_id <> 0
 )
-SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+SELECT vec_id, cos_sim, CAST(0 AS BIGINT) AS probed FROM
+  (SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5)
+UNION ALL
+SELECT vec_id, cos_sim, CAST(1 AS BIGINT) AS probed FROM
+  (SELECT vec_id, cos_sim FROM sp ORDER BY cos_sim DESC, vec_id ASC LIMIT 5)
 """,
-        "emb_dup_pairs_lsh": lsh_sig_cte + """
+        # exact-bucket pairs + one-bit multi-probe pairs (one join side
+        # probes every one-bit-flipped signature → recall of hamming<=1
+        # signature pairs), tagged by probed
+        "emb_dup_pairs_lsh": lsh_sig_cte + f"""
 , scored AS (
   SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
          ROUND(list_dot_product(a.e, b.e) /
@@ -1322,40 +1400,15 @@ SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
                 sqrt(list_dot_product(b.e, b.e))), 3) AS cos_sim
   FROM sig a JOIN sig b
     ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
-)
-SELECT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
-""",
-        # multi-probe top-k: candidates from the query's bucket plus every
-        # one-bit-flipped bucket
-        "emb_lsh_topk_probed": lsh_sig_cte + f"""
-, q AS (
-  SELECT unnest([lsh_sig,
-                 {', '.join(f'xor(lsh_sig, {1 << p})' for p in range(8))}])
-             AS qsig,
-         e AS qv
-  FROM sig WHERE vec_id = 0
 ),
-s AS (
-  SELECT vec_id,
-         ROUND(list_dot_product(e, qv) /
-               (sqrt(list_dot_product(e, e)) *
-                sqrt(list_dot_product(qv, qv))), 3) AS cos_sim
-  FROM sig JOIN q ON sig.lsh_sig = q.qsig
-  WHERE vec_id <> 0
-)
-SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
-""",
-        # multi-probe: one join side also probes every one-bit-flipped
-        # signature → recall of hamming<=1 signature pairs
-        "emb_dup_pairs_lsh_probed": lsh_sig_cte + f"""
-, probes AS (
+probes AS (
   SELECT vec_id, e,
          unnest([lsh_sig,
                  {', '.join(f'xor(lsh_sig, {1 << p})' for p in range(8))}])
              AS probe
   FROM sig
 ),
-scored AS (
+scoredp AS (
   SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
          ROUND(list_dot_product(a.e, b.e) /
                (sqrt(list_dot_product(a.e, a.e)) *
@@ -1363,7 +1416,11 @@ scored AS (
   FROM probes a JOIN sig b
     ON b.lsh_sig = a.probe AND a.vec_id < b.vec_id
 )
-SELECT DISTINCT vid_a, vid_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+SELECT vid_a, vid_b, cos_sim, CAST(0 AS BIGINT) AS probed
+FROM scored WHERE cos_sim >= 0.3
+UNION ALL
+SELECT DISTINCT vid_a, vid_b, cos_sim, CAST(1 AS BIGINT) AS probed
+FROM scoredp WHERE cos_sim >= 0.3
 """,
         # learned-cell IVF: the full 3-round Lloyd recursion unrolled (was
         # rows-only through round 2; value-exact from round 3)
@@ -1392,34 +1449,13 @@ keepers AS (
 )
 SELECT doc_id FROM keepers
 """,
-        "salted_hot_key_count": """
-SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
-""",
-        "salted_hot_key_sum": """
-SELECT user_id,
+        # the salted two-phase count and sum must both equal the plain
+        # GROUP BY
+        "salted_hot_keys": """
+SELECT user_id, COUNT(*) AS n_rows,
        CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
            AS value_milli
 FROM events GROUP BY user_id
-""",
-        # keep-smallest-of-pair: docs that never appear as the larger id
-        # of an LSH candidate pair survive
-        "dedup_drop_pairs": sig_cte + f""",
-banded AS ({' UNION ALL '.join(band_keys)}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM cand
-  JOIN sig sa ON sa.doc_id = doc_a
-  JOIN sig sb ON sb.doc_id = doc_b
-  WHERE ({eq_terms}) / 16.0 >= 0.125
-),
-losers AS (SELECT DISTINCT doc_b FROM pairs)
-SELECT d.doc_id FROM documents d
-LEFT JOIN losers l ON d.doc_id = l.doc_b
-WHERE l.doc_b IS NULL
 """,
         "lang_id": f"""
 WITH markers(cand_lang, word) AS (VALUES {markers}),
@@ -1443,17 +1479,15 @@ SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang,
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   ON d.doc_id = b.doc_id
 """,
-        "token_counts": r"""
+        # token counts + quality components + stopword ratio in one select
+        # (same expressions the three standalone oracles used)
+        "text_stats": r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END
            AS n_ws_tokens,
        len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))
-           AS n_bpe_tokens
-FROM documents
-""",
-        "quality_scores": """
-SELECT doc_id,
+           AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        ROUND(length(regexp_replace(text, '[^A-Za-zÆØÅæøå]', '', 'g'))
              / GREATEST(length(text), 1), 6) AS alpha_ratio,
@@ -1462,9 +1496,13 @@ SELECT doc_id,
                 / GREATEST(length(text), 1))
              * (1.0 - LEAST((length(regexp_replace(text, '[^.,;:!?|]', '', 'g'))
                              / GREATEST(length(text), 1)) * 5, 1.0)), 6)
-           AS quality
+           AS quality,
+       ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> list_contains([SWEN], x)))
+             / GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')),
+                        1), 6) AS en_stopword_ratio
 FROM documents
-""",
+""".replace("SWEN", sw_en),
         # Stub decode is sha256(payload)-derived; payload here is the UTF-8
         # encoding of documents.text, so DuckDB's sha256(text) (which hashes
         # the UTF-8 bytes) reproduces every value. The magic-byte CASE omits
@@ -1509,17 +1547,6 @@ WITH per AS (
 SELECT d.doc_id, per.fp AS fp
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
-        "stopword_ratios": f"""
-WITH t AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents
-)
-SELECT doc_id,
-       ROUND(len(list_filter(toks, x -> list_contains([{sw_en}], x)))
-             / GREATEST(len(toks), 1), 6) AS en_stopword_ratio
-FROM t
-""",
         # confusion-lexicon induction: whitespace tokens, edge punctuation
         # stripped (the normalizer's _PUNCT class), lowercase alphabetic
         # ≥3 chars, top-50 by (count desc, token asc); EXTRAWS = the same
@@ -1541,8 +1568,9 @@ WITH toks AS (
 SELECT token, cnt FROM freq ORDER BY cnt DESC, token ASC LIMIT 50
 """.replace("EXTRAWS", lx._EXTRA_WS),
         # identical seeded text, identical patterns (shared Java/RE2
-        # syntax); DuckDB regexp_* need the explicit 'g' flag
-        "pattern_hygiene": r"""
+        # syntax); DuckDB regexp_* need the explicit 'g' flag. Audit
+        # counts + the masked text in one row.
+        "pattern_audit": r"""
 WITH seeded AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 7 = 0 THEN 'SEEDA'
@@ -1557,25 +1585,13 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, 'PHONERE')) AS BIGINT)
          AS n_phones,
        ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / GREATEST(length(text), 1), 6) AS digit_ratio
+             / GREATEST(length(text), 1), 6) AS digit_ratio,
+       regexp_replace(regexp_replace(text, 'URLRE', '[URL]', 'g'),
+                      'EMAILRE', '[EMAIL]', 'g') AS scrubbed
 FROM seeded
 """.replace("SEEDA", _SEED_A).replace("SEEDB", _SEED_B)
    .replace("EMAILRE", q.EMAIL_RE).replace("URLRE", q.URL_RE)
    .replace("PHONERE", q.PHONE_RE),
-        "scrub_patterns": r"""
-WITH seeded AS (
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 7 = 0 THEN 'SEEDA'
-                      WHEN doc_id % 5 = 0 THEN 'SEEDB'
-                      ELSE '' END AS text
-  FROM documents
-)
-SELECT doc_id,
-       regexp_replace(regexp_replace(text, 'URLRE', '[URL]', 'g'),
-                      'EMAILRE', '[EMAIL]', 'g') AS text
-FROM seeded
-""".replace("SEEDA", _SEED_A).replace("SEEDB", _SEED_B)
-   .replace("EMAILRE", q.EMAIL_RE).replace("URLRE", q.URL_RE),
         # integer-exact familiarity: char bigrams via range+list_transform
         # (DuckDB 1.0 has no lateral generate_series); docs shorter than
         # 2 chars have no bigrams and are absent on both sides
@@ -1598,48 +1614,58 @@ SELECT b.doc_id,
 FROM bi b LEFT JOIN common c ON b.bigram = c.bigram
 GROUP BY b.doc_id
 """,
-        # hash-bucket split: thresholds over the portable hash of
-        # 'split-v1:doc_id' — same arithmetic as operators/corpus.py
-        "corpus_split": f"""
+        # stratified sample (hash-rate filter) composed with the
+        # hash-bucket split — same portable-hash arithmetic as
+        # operators/corpus.py, different salts decorrelate the decisions
+        "corpus_split_sample": f"""
 WITH b AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
+         {_H60.format(x=chr(39) + 'sample-v1:' + chr(39)
+                      + ' || CAST(doc_id AS VARCHAR)')} % 1000000 AS sbucket,
          {_H60.format(x=chr(39) + 'split-v1:' + chr(39)
                       + ' || CAST(doc_id AS VARCHAR)')} % 1000000 AS bucket
   FROM documents
 )
-SELECT doc_id,
+SELECT doc_id, lang,
        CASE WHEN bucket < 900000 THEN 'train'
             WHEN bucket < 950000 THEN 'val'
             ELSE 'test' END AS split
 FROM b
-""",
-        "corpus_sample": f"""
-WITH b AS (
-  SELECT doc_id, lang,
-         {_H60.format(x=chr(39) + 'sample-v1:' + chr(39)
-                      + ' || CAST(doc_id AS VARCHAR)')} % 1000000 AS bucket
-  FROM documents
-)
-SELECT doc_id, lang FROM b
-WHERE bucket < CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
+WHERE sbucket < CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
 """,
         # block-style packing: pack_id = chunk index of the document's
-        # first token when the group is concatenated in doc_id order
-        "pack_sequences": r"""
+        # first token when the group is concatenated in doc_id order.
+        # Unsalted arm (pack_bucket = -1) + the sub_shards=4 de-skew arm
+        # (hash-routed pack_bucket, window per (source, bucket)).
+        "pack_sequences": (r"""
 WITH t AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END
              AS n_tokens
   FROM documents
+),
+tb AS (
+  SELECT doc_id, source, n_tokens, HASHEXPR % 4 AS pack_bucket FROM t
 )
-SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT doc_id, source, CAST(-1 AS BIGINT) AS pack_bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(COALESCE(SUM(n_tokens) OVER (
                 PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
             AS BIGINT) AS pack_id
 FROM t
-""",
+UNION ALL
+SELECT doc_id, source, CAST(pack_bucket AS BIGINT) AS pack_bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source, pack_bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS pack_id
+FROM tb
+""").replace("HASHEXPR",
+             _H60.format(x=chr(39) + 'pack-v1:' + chr(39)
+                         + ' || CAST(doc_id AS VARCHAR)')),
         "corpus_prep": f"""
 WITH markers(cand_lang, word) AS (VALUES {markers}),
 corpus AS (

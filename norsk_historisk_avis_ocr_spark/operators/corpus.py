@@ -78,7 +78,10 @@ def stratified_sample(docs: DataFrame, rate: float = 0.2,
 
 
 def pack_sequences(docs: DataFrame, budget: int = 512,
-                   group_col: str | list[str] = "source") -> DataFrame:
+                   group_col: str | list[str] = "source",
+                   sub_shards: int | None = None,
+                   key_col: str = "doc_id",
+                   salt: str = "pack-v1") -> DataFrame:
     """Token-budget sequence packing, block-style: within each group,
     documents are concatenated in ``doc_id`` order and chunked into
     ``budget``-token context blocks; a document's ``pack_id`` is the block
@@ -94,14 +97,36 @@ def pack_sequences(docs: DataFrame, budget: int = 512,
     ``group_col`` may be a list — packing after a train/val/test split
     MUST include the split column (e.g. ``["split", "source"]``) so no
     context block ever spans splits.
+
+    ``sub_shards`` de-skews a mega-shard: each document is hash-routed to
+    a deterministic ``pack_bucket`` in [0, sub_shards) and packing runs
+    within (group, bucket) — the window shuffle is then keyed on
+    ``groups + [pack_bucket]``, so one hot shard can never serialize a
+    single task. Cost: pack boundaries differ from the unsalted layout
+    (blocks never span buckets), so the block key becomes
+    (group, pack_bucket, pack_id) — the output carries ``pack_bucket``
+    only in this mode, keeping the default schema (and its oracle)
+    byte-stable. Routing uses the portable hash (engine-reproducible,
+    partition-independent), not a RNG.
     """
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     d = docs.select(
         "doc_id", *[F.col(g) for g in groups],
         token_count(F.col("text")).cast("long").alias("n_tokens"))
-    win = Window.partitionBy(*groups).orderBy("doc_id") \
+    part_keys = list(groups)
+    if sub_shards is not None:
+        if sub_shards < 1:
+            raise ValueError(f"sub_shards must be >= 1 (got {sub_shards})")
+        d = d.withColumn(
+            "pack_bucket",
+            (portable_hash60(F.concat(F.lit(salt + ":"),
+                                      F.col(key_col).cast("string")))
+             % F.lit(sub_shards)).cast("long"))
+        part_keys.append("pack_bucket")
+    win = Window.partitionBy(*part_keys).orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    extra = ["pack_bucket"] if sub_shards is not None else []
     return d.select(
-        "doc_id", *groups, "n_tokens",
+        "doc_id", *groups, *extra, "n_tokens",
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"))

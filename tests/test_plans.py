@@ -210,3 +210,15 @@ def test_lexicon_frequency_plan_is_one_aggregation(spark, sf_dir):
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     topn = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(50)
     assert "TakeOrderedAndProject" in _plan(topn), _plan(topn)
+
+
+def test_pack_sequences_sub_shards_exchange_keyed_on_bucket(spark, sf_dir):
+    """De-skewed packing still shuffles exactly once, keyed on
+    (group, pack_bucket) — a hot shard fans out over sub_shards tasks."""
+    from norsk_historisk_avis_ocr_spark.operators.corpus import pack_sequences
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(pack_sequences(docs, budget=512, sub_shards=8))
+    assert plan.count("Exchange") == 1, plan
+    part_key = plan.split("hashpartitioning(source", 1)
+    assert len(part_key) == 2, plan
+    assert "pack_bucket" in part_key[1][:120], plan

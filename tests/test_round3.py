@@ -323,3 +323,35 @@ def test_star_cc_warns_when_not_converged(spark):
         labels = dd.connected_components_star(pairs, max_iter=20).collect()
     assert {r.component_id for r in labels} == {0}
     assert len(labels) == 13
+
+
+def test_pack_sequences_sub_shards_de_skews(spark, sf_dir):
+    """sub_shards= routes docs to deterministic hash buckets and packs
+    within (group, bucket): same block semantics per bucket, deterministic
+    across reruns, token totals conserved (VERDICT r3 item 5)."""
+    from norsk_historisk_avis_ocr_spark.operators.corpus import pack_sequences
+    plain = pack_sequences(_docs(spark, sf_dir), budget=512).collect()
+    salted = pack_sequences(_docs(spark, sf_dir), budget=512,
+                            sub_shards=4).collect()
+    # default schema unchanged; salted carries the bucket column
+    assert "pack_bucket" not in plain[0].asDict()
+    assert all(0 <= r.pack_bucket < 4 for r in salted)
+    # token counts identical row-for-row (routing never changes content)
+    assert {(r.doc_id, r.n_tokens) for r in plain} == \
+        {(r.doc_id, r.n_tokens) for r in salted}
+    # block semantics hold within each (group, bucket)
+    by_gb: dict = {}
+    for r in salted:
+        by_gb.setdefault((r.source, r.pack_bucket), []).append(r)
+    assert len({b for _, b in by_gb}) == 4  # all buckets populated
+    for key, rs in by_gb.items():
+        rs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rs:
+            assert r.pack_id == start // 512, (key, r.doc_id)
+            start += r.n_tokens
+    # deterministic: rerun yields identical assignment
+    again = pack_sequences(_docs(spark, sf_dir), budget=512,
+                           sub_shards=4).collect()
+    assert sorted((r.doc_id, r.pack_bucket, r.pack_id) for r in salted) == \
+        sorted((r.doc_id, r.pack_bucket, r.pack_id) for r in again)
