@@ -320,13 +320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def raster_verified_jpeg(spark, sf):
         """JPEG leg of the self-verifying raster row: pages encoded as
-        baseline JPEG (the reference's other payload encoding), decoded by
-        the in-tree ``stages/jpeg.py`` decoder inside ``segment_image_pages``
-        and verified against the reference's ``_split_columns`` executed on
-        the SAME decoded pixels — exact by construction regardless of JPEG
-        loss. 700×520 pages: the entropy decode is a Python bitstream walk;
-        smaller pages keep the contract probe fast while still exercising
-        dividers, masthead gaps, and subdivision."""
+        baseline JPEG (the reference's other payload encoding) — grayscale
+        single-component for even doc_ids, 3-component YCbCr 4:2:0 COLOR
+        scans for odd (round-4 upgrade: newspaper scans are routinely
+        color) — decoded by the in-tree ``stages/jpeg.py`` decoder inside
+        ``segment_image_pages`` (color → chroma upsample → RGB → PIL-exact
+        luma) and verified against the reference's ``_split_columns``
+        executed on the SAME decoded pixels — exact by construction
+        regardless of JPEG loss. 700×520 pages: the entropy decode is a
+        Python bitstream walk; smaller pages keep the contract probe fast
+        while still exercising dividers, masthead gaps, and subdivision."""
         _ensure_worker_path(spark)
         from norsk_historisk_avis_ocr_spark.operators.raster import (
             segment_image_pages,
@@ -335,6 +338,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jpeg_pages_df,
         )
         pages = jpeg_pages_df(spark, sf, limit=16, partitions=8)
+        geo = segment_image_pages(pages)
+
+        def vfn(batches):
+            import pandas as pd
+
+            from norsk_historisk_avis_ocr_spark.refexec import golden_geometry
+            from norsk_historisk_avis_ocr_spark.sources.rasters import (
+                synth_color_page_array, synth_page_array,
+            )
+            from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+                decode_jpeg_gray, encode_jpeg_color, encode_jpeg_gray,
+            )
+
+            def as_tuple(box):
+                if box is None:
+                    return None
+                return (box["x0"], box["y0"], box["x1"], box["y1"])
+
+            for pdf in batches:
+                n = bad = 0
+                for row in pdf.itertuples(index=False):
+                    n += 1
+                    if row.decode_error is not None:
+                        bad += 1
+                        continue
+                    doc_id = int(row.page_id.split("-", 1)[1])
+                    if doc_id % 2 == 0:
+                        decoded = decode_jpeg_gray(encode_jpeg_gray(
+                            synth_page_array(row.page_id, width=700,
+                                             height=520), quality=97))
+                    else:
+                        decoded = decode_jpeg_gray(encode_jpeg_color(
+                            synth_color_page_array(row.page_id, width=700,
+                                                   height=520),
+                            quality=97, sampling=(2, 2)))
+                    want_title, want_cols = golden_geometry(decoded)
+                    got_cols = [as_tuple(b) for b in row.column_boxes]
+                    if (as_tuple(row.title_box) != want_title
+                            or got_cols != want_cols):
+                        bad += 1
+                yield pd.DataFrame({"n": [n], "bad": [bad]})
+
+        flags = geo.mapInPandas(vfn, schema="n long, bad long")
+        return flags.agg(F.sum("n").alias("n_checked"),
+                         F.sum("bad").alias("n_mismatch"))
+
+    def raster_verified_pdf(spark, sf):
+        """PDF leg of the self-verifying raster row — the reference's
+        PRIMARY input format (``ocr.py:25``; poppler rasterization at
+        ``engines/tesseract_engine.py:133-142``). Pages arrive as one-page
+        PDFs whose image XObject alternates DCTDecode (even doc_ids) and
+        FlateDecode+PNG-predictor (odd), decoded by the in-tree
+        ``stages/pdf.py`` inside ``segment_image_pages`` and verified
+        against the reference's ``_split_columns`` executed on the SAME
+        decoded pixels — exact by construction for both arms (the flate
+        arm is lossless; the DCT arm re-derives the identical JPEG
+        round-trip)."""
+        _ensure_worker_path(spark)
+        from norsk_historisk_avis_ocr_spark.operators.raster import (
+            segment_image_pages,
+        )
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            pdf_pages_df,
+        )
+        pages = pdf_pages_df(spark, sf, limit=16, partitions=8)
         geo = segment_image_pages(pages)
 
         def vfn(batches):
@@ -360,9 +428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     if row.decode_error is not None:
                         bad += 1
                         continue
-                    decoded = decode_jpeg_gray(encode_jpeg_gray(
-                        synth_page_array(row.page_id, width=700, height=520),
-                        quality=97))
+                    doc_id = int(row.page_id.split("-", 1)[1])
+                    arr = synth_page_array(row.page_id, width=700,
+                                           height=520)
+                    decoded = (decode_jpeg_gray(
+                        encode_jpeg_gray(arr, quality=97))
+                        if doc_id % 2 == 0 else arr)
                     want_title, want_cols = golden_geometry(decoded)
                     got_cols = [as_tuple(b) for b in row.column_boxes]
                     if (as_tuple(row.title_box) != want_title
@@ -590,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verified": extract_verified,
         "raster_verified": raster_verified,
         "raster_verified_jpeg": raster_verified_jpeg,
+        "raster_verified_pdf": raster_verified_pdf,
         "overlay_verified": overlay_verified,
         "vision_payloads_verified": vision_payloads_verified,
         "sections_verified": sections_verified,
@@ -1043,6 +1115,10 @@ SELECT LEAST(COUNT(*), 40) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
 """,
         "raster_verified_jpeg": """
+SELECT LEAST(COUNT(*), 16) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+        "raster_verified_pdf": """
 SELECT LEAST(COUNT(*), 16) AS n_checked, CAST(0 AS BIGINT) AS n_mismatch
 FROM documents
 """,

@@ -45,6 +45,22 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate() -> float:
+    """Fixed pure-CPU workload (no Spark, single core): a deterministic
+    FNV-1a-style hash loop over a fixed buffer. Its wall time calibrates
+    the host regime — this box has noisy co-tenants (readings vary ±3×,
+    see CLAUDE.md), so the driver's per-round bench JSON self-documents
+    how loaded the window was and cross-round comparisons can be
+    normalized against it (BENCH/BASELINE.md records the quiet-window
+    reference value)."""
+    t0 = time.time()
+    h = 0xcbf29ce484222325
+    for i in range(2_000_000):
+        h = ((h ^ (i & 0xFF)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    assert h != 0
+    return round(time.time() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -195,6 +211,7 @@ def main():
             "raster_pages_per_sec": raster_pages_per_sec,
             "jpeg_pages_per_sec": jpeg_pages_per_sec,
             "extract_warmup_sec": round(warmup_sec, 3),
+            "calib_sec": min(_calibrate(), _calibrate()),
             "cpus": cpus,
         }))
     finally:

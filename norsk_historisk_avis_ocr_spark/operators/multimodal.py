@@ -73,7 +73,8 @@ def _gray_features(gray) -> dict:
     }
 
 
-_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*")
+_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"II*\x00", b"MM\x00*",
+                 b"%PDF-")
 
 
 def _stub_features(data: bytes) -> list[float]:

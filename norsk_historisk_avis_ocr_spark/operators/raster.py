@@ -79,11 +79,13 @@ def segment_rasters(df: DataFrame, id_col: str = "page_id",
 
 
 def decode_payload_gray(data: bytes):
-    """Sniff-dispatch image decode: baseline JPEG, baseline TIFF, or PNG
-    payload → (H, W) uint8 luma. Shared by the raster segmentation and
-    vision-prep operators; raises ValueError on anything undecodable
-    (quarantine contract)."""
+    """Sniff-dispatch image decode: baseline JPEG, baseline TIFF, PDF
+    scan (first page's largest image XObject — the reference's primary
+    input, ``ocr.py:25``), or PNG payload → (H, W) uint8 luma. Shared by
+    the raster segmentation and vision-prep operators; raises ValueError
+    on anything undecodable (quarantine contract)."""
     from ..stages.jpeg import decode_jpeg_gray
+    from ..stages.pdf import decode_pdf_page_image
     from ..stages.png import decode_png, to_grayscale
     from ..stages.tiff import decode_tiff_gray
 
@@ -91,6 +93,8 @@ def decode_payload_gray(data: bytes):
         return decode_jpeg_gray(data)
     if data.startswith(b"II*\x00") or data.startswith(b"MM\x00*"):
         return decode_tiff_gray(data)
+    if data.startswith(b"%PDF-"):
+        return decode_pdf_page_image(data)
     return to_grayscale(decode_png(data))
 
 

@@ -158,19 +158,33 @@ def raster_pages_df(spark: SparkSession, sf_dir: str,
     return ids.mapInPandas(gen, schema=RASTER_SCHEMA)
 
 
-def jpeg_pages_df(spark: SparkSession, sf_dir: str,
-                  limit: int | None = None,
-                  partitions: int | None = None,
-                  width: int = 700, height: int = 520,
-                  quality: int = 97) -> DataFrame:
-    """JPEG-encoded deterministic page per document id — the reference's
-    other native payload encoding (``tesseract_engine.py:143-144``). Same
-    shape/contract as :func:`raster_pages_df` but the ``png`` column holds
-    baseline JPEG bytes (the column name is the payload slot, sniffing
-    dispatches the codec). Default dims are smaller than the PNG pages:
-    baseline JPEG entropy decode is a Python-loop bitstream walk, and the
-    contract leg only needs enough page to exercise every geometry path."""
-    from ..stages.jpeg import encode_jpeg_gray
+def synth_color_page_array(page_id: str, width: int = PAGE_WIDTH,
+                           height: int = PAGE_HEIGHT) -> np.ndarray:
+    """Deterministic sepia-toned color scan of the same page: (H, W, 3)
+    uint8 with per-channel attenuation of the grayscale page — the shape
+    an aged-newspaper color scan has (smooth, low-variance chroma, which
+    is exactly what 4:2:0 subsampling assumes)."""
+    g = synth_page_array(page_id, width=width, height=height) \
+        .astype(np.float64)
+    return np.stack([g, np.clip(g * 0.94, 0, 255),
+                     np.clip(g * 0.82, 0, 255)], axis=-1).astype(np.uint8)
+
+
+def pdf_pages_df(spark: SparkSession, sf_dir: str,
+                 limit: int | None = None,
+                 partitions: int | None = None,
+                 width: int = 700, height: int = 520,
+                 quality: int = 97) -> DataFrame:
+    """PDF-encoded deterministic page per document id — the reference's
+    PRIMARY input format (``ocr.py:25``; decoded via poppler at
+    ``engines/tesseract_engine.py:133-142``). Same shape/contract as
+    :func:`raster_pages_df`; the ``png`` column holds a one-page PDF whose
+    page image alternates deterministically between the two scan payload
+    classes: DCTDecode (embedded baseline JPEG) for even doc_ids and
+    FlateDecode with PNG predictors for odd ones, so one contract leg
+    exercises both branches of ``stages/pdf.py``. Dims follow the JPEG
+    leg (entropy decode is the slow path; see CLAUDE.md)."""
+    from ..stages.pdf import encode_pdf_gray
 
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if limit is not None:
@@ -185,8 +199,54 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
             for doc_id in pdf["doc_id"]:
                 pid = f"page-{int(doc_id)}"
                 arr = synth_page_array(pid, width=width, height=height)
+                codec = "jpeg" if int(doc_id) % 2 == 0 else "flate"
                 rows.append({"page_id": pid,
-                             "png": encode_jpeg_gray(arr, quality=quality),
+                             "png": encode_pdf_gray(arr, codec=codec,
+                                                    quality=quality),
+                             "width": arr.shape[1], "height": arr.shape[0]})
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+def jpeg_pages_df(spark: SparkSession, sf_dir: str,
+                  limit: int | None = None,
+                  partitions: int | None = None,
+                  width: int = 700, height: int = 520,
+                  quality: int = 97) -> DataFrame:
+    """JPEG-encoded deterministic page per document id — the reference's
+    other native payload encoding (``tesseract_engine.py:143-144``). Same
+    shape/contract as :func:`raster_pages_df` but the ``png`` column holds
+    baseline JPEG bytes (the column name is the payload slot, sniffing
+    dispatches the codec). Alternates deterministically between grayscale
+    single-component pages (even doc_ids) and 3-component YCbCr 4:2:0
+    color scans of the sepia page (odd), so one leg exercises both decode
+    paths. Default dims are smaller than the PNG pages: baseline JPEG
+    entropy decode is a Python-loop bitstream walk, and the contract leg
+    only needs enough page to exercise every geometry path."""
+    from ..stages.jpeg import encode_jpeg_color, encode_jpeg_gray
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if limit is not None:
+        ids = ids.orderBy("doc_id").limit(limit)
+    if partitions:
+        ids = ids.repartition(partitions, F.col("doc_id"))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pid = f"page-{int(doc_id)}"
+                if int(doc_id) % 2 == 0:
+                    arr = synth_page_array(pid, width=width, height=height)
+                    payload = encode_jpeg_gray(arr, quality=quality)
+                else:
+                    arr = synth_color_page_array(pid, width=width,
+                                                 height=height)
+                    payload = encode_jpeg_color(arr, quality=quality,
+                                                sampling=(2, 2))
+                rows.append({"page_id": pid, "png": payload,
                              "width": arr.shape[1], "height": arr.shape[0]})
             yield pd.DataFrame(rows)
 

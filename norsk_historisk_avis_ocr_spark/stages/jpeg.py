@@ -7,16 +7,21 @@ them with PIL and re-encode to JPEG for the vision API
 libraries, so — like ``stages/png.py`` — the raster path ships its own
 minimal codec:
 
-- :func:`decode_jpeg_gray` — baseline sequential DCT (SOF0) → the luma
-  plane as (H, W) uint8. Grayscale and YCbCr streams are supported; for
-  YCbCr only the Y component is reconstructed (the exact luma — no chroma
-  round-trip), though chroma blocks are still entropy-decoded to keep the
-  bitstream in sync. Restart markers and 16-bit quant tables are handled.
-- :func:`encode_jpeg_gray` — single-component baseline encoder (test/bench
-  input generator): level shift → 8×8 orthonormal DCT → quantize →
-  run-length + Huffman with the JPEG Annex-K-style tables written into the
-  file (the decoder always reads tables from the stream, so files are
-  self-describing).
+- :func:`decode_jpeg_gray` — baseline sequential DCT (SOF0) → (H, W)
+  uint8 grayscale. Single-component streams decode the plane directly;
+  3-component YCbCr streams (the common color-scan shape) decode chroma
+  too — per-component quant tables, integer-ratio pixel-replication
+  upsample (4:2:0 / 4:2:2 / 4:4:4) — and convert through RGB with the
+  PIL-exact integer luma. Restart markers and 16-bit quant tables are
+  handled.
+- :func:`decode_jpeg_rgb` — the same color path returning (H, W, 3) RGB.
+- :func:`encode_jpeg_gray` / :func:`encode_jpeg_color` — baseline
+  encoders (test/bench input generators): level shift → 8×8 orthonormal
+  DCT → quantize → run-length + Huffman with the JPEG Annex-K-style
+  tables written into the file (the decoder always reads tables from the
+  stream, so files are self-describing). The color encoder writes
+  interleaved YCbCr MCUs with selectable luma sampling (4:2:0 default)
+  and the Annex K.2 chroma quant table.
 
 Anything non-baseline (progressive SOF2, arithmetic coding, 12-bit,
 hierarchical) raises ``ValueError`` so callers can quarantine rather than
@@ -195,8 +200,51 @@ def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr → RGB (the standard matrix), rounded and clipped per
+    channel. Float matrix + np.round — deterministic, but not bit-identical
+    to libjpeg's fixed-point path; the raster contract executes the
+    reference's geometry code on THESE pixels, so parity is by
+    construction, not by matching another decoder's rounding."""
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W) uint8 luma plane."""
+    """Baseline JPEG bytes → (H, W) uint8 grayscale. Single-component
+    streams decode the plane directly; 3-component YCbCr streams decode
+    chroma too and convert through RGB with the PIL-exact integer luma
+    (``stages/png.py:to_grayscale``) — the reference's
+    ``Image.convert("L")`` pipeline (``engines/_columns.py:442``)."""
+    out = _decode_jpeg(data, rgb=False)
+    if isinstance(out, list):  # 3-component: full chroma round-trip
+        from .png import to_grayscale
+        return to_grayscale(_ycc_to_rgb(*out))
+    return out
+
+
+def decode_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Baseline 3-component YCbCr JPEG bytes → (H, W, 3) uint8 RGB.
+    Chroma planes are pixel-replication upsampled to full resolution
+    (integer sampling ratios only). Raises ValueError for streams that
+    are not 3-component color."""
+    out = _decode_jpeg(data, rgb=True)
+    if not isinstance(out, list) or len(out) != 3:
+        raise ValueError("not a 3-component color JPEG")
+    return _ycc_to_rgb(*out)
+
+
+def _decode_jpeg(data: bytes, rgb: bool):
+    """Marker walk shared by the gray/rgb entry points. Returns the
+    single luma plane for 1-component streams, or the [Y, Cb, Cr] plane
+    list for 3-component streams; ``rgb=True`` requires 3 components."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -266,14 +314,19 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            ncomp = len(frame["comps"])
+            if rgb and ncomp != 3:
+                raise ValueError(
+                    f"not a 3-component color JPEG ({ncomp} components)")
             return _decode_scan(data, pos + 2 + seglen, body, frame,
-                                qtables, htables, restart_interval)
+                                qtables, htables, restart_interval,
+                                color=(ncomp == 3))
         pos += 2 + seglen
     raise ValueError("no SOS marker (no image data)")
 
 
 def _decode_scan(data, scan_start, sos, frame, qtables, htables,
-                 restart_interval) -> np.ndarray:
+                 restart_interval, color: bool = False):
     ns = sos[0]
     comps = frame["comps"]
     if ns != len(comps):
@@ -299,41 +352,62 @@ def _decode_scan(data, scan_start, sos, frame, qtables, htables,
     n_mcu = mcux * mcuy
 
     segments, _end = _destuff(data, scan_start)
-    luma = comps[0]
     # per-component decode plan: (dc entry list, ac entry list, blocks/MCU,
-    # keep) — resolved once so the inner loop is pure local-variable work
+    # output list or None) — resolved once so the inner loop is pure
+    # local-variable work. Grayscale mode keeps only the luma blocks
+    # (chroma is entropy-decoded for stream sync and discarded); color
+    # mode keeps every component.
     plan = []
+    outs: list[list | None] = []
     for ci, comp in enumerate(comps):
         dc_t = htables.get((0, sel[comp["id"]][0]))
         ac_t = htables.get((1, sel[comp["id"]][1]))
         if dc_t is None or ac_t is None:
             raise ValueError("missing Huffman table")
-        plan.append((dc_t.entry, ac_t.entry, comp["v"] * comp["h"], ci == 0))
+        out: list | None = [] if (color or ci == 0) else None
+        outs.append(out)
+        plan.append((dc_t.entry, ac_t.entry, comp["v"] * comp["h"], out))
 
-    luma_blocks: list[list[int]] = []
     mcu = 0
     for seg in segments:
         limit = (min(mcu + restart_interval, n_mcu)
                  if restart_interval else n_mcu)
-        mcu = _decode_mcus(seg, plan, luma_blocks, mcu, limit)
+        mcu = _decode_mcus(seg, plan, mcu, limit)
         if mcu >= n_mcu:
             break
     if mcu < n_mcu:
         raise ValueError("JPEG entropy data truncated (missing MCUs)")
 
-    q = qtables.get(luma["tq"])
-    if q is None:
-        raise ValueError("missing quantization table")
-    ly_blocks = np.array(luma_blocks, dtype=np.int64).reshape(-1, 8, 8)
-    pix = _idct_blocks(ly_blocks * q)
-    # assemble: MCU grid of (v, h) luma blocks
-    lv, lh = luma["v"], luma["h"]
-    img = pix.reshape(mcuy, mcux, lv, lh, 8, 8) \
-        .transpose(0, 2, 4, 1, 3, 5) \
-        .reshape(mcuy * lv * 8, mcux * lh * 8)
-    # luma plane covers ceil to its own sampling; crop to frame dims scaled
-    # by luma sampling relative to max (luma is full-res when h=hmax)
-    return np.ascontiguousarray(img[:h, :w])
+    def assemble(ci: int) -> np.ndarray:
+        """Component ci's coefficient blocks → its plane at frame
+        resolution: dequant + IDCT, MCU-grid assembly, crop to the
+        component's own dims (ceil(dim·sampling/max)), then integer-ratio
+        pixel-replication upsample to (h, w)."""
+        comp = comps[ci]
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        blocks = np.array(outs[ci], dtype=np.int64).reshape(-1, 8, 8)
+        pix = _idct_blocks(blocks * q)
+        cv, ch = comp["v"], comp["h"]
+        plane = pix.reshape(mcuy, mcux, cv, ch, 8, 8) \
+            .transpose(0, 2, 4, 1, 3, 5) \
+            .reshape(mcuy * cv * 8, mcux * ch * 8)
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        plane = plane[:comp_h, :comp_w]
+        ry, rx = vmax // cv, hmax // ch
+        if ry * cv != vmax or rx * ch != hmax:
+            raise ValueError(
+                f"non-integer chroma sampling ratio {cv}x{ch} vs "
+                f"{vmax}x{hmax}")
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        return np.ascontiguousarray(plane[:h, :w])
+
+    if not color:
+        return assemble(0)
+    return [assemble(ci) for ci in range(len(comps))]
 
 
 # Segments below this use the original scalar bit-cursor loop (kept as the
@@ -357,19 +431,17 @@ def _segment_words(seg: bytes) -> tuple[int, ...]:
     return struct.unpack(f">{len(padded) // 4}I", padded)
 
 
-def _decode_mcus(seg: bytes, plan, luma_blocks: list, mcu: int,
-                 limit: int) -> int:
+def _decode_mcus(seg: bytes, plan, mcu: int, limit: int) -> int:
     """Entropy-decode MCUs ``mcu..limit`` of one restart segment. Dispatch:
     big segments take the word-peek loop (no per-symbol refill state),
     tiny ones the scalar bit-cursor loop — both produce identical blocks
     (equality- and bitstream-exact-tested)."""
     if len(seg) >= _WORDS_MIN_BYTES:
-        return _decode_mcus_words(seg, plan, luma_blocks, mcu, limit)
-    return _decode_mcus_scalar(seg, plan, luma_blocks, mcu, limit)
+        return _decode_mcus_words(seg, plan, mcu, limit)
+    return _decode_mcus_scalar(seg, plan, mcu, limit)
 
 
-def _decode_mcus_words(seg: bytes, plan, luma_blocks: list, mcu: int,
-                       limit: int) -> int:
+def _decode_mcus_words(seg: bytes, plan, mcu: int, limit: int) -> int:
     """Word-peek entropy decode: the 32-bit peek needed by any symbol
     (≤16 code bits + ≤15 magnitude bits) is assembled from two words of
     :func:`_segment_words` at the current bit offset — the (buf, nbits)
@@ -428,8 +500,8 @@ def _decode_mcus_words(seg: bytes, plan, luma_blocks: list, mcu: int,
                                        if v < (1 << (size - 1)) else v)
                         i += length + size
                         k += 1
-                    if keep:
-                        luma_blocks.append(coef)
+                    if keep is not None:
+                        keep.append(coef)
             mcu += 1
             # same loud-failure contract as the scalar path: consuming any
             # zero-fill bit past the stream end means truncated data
@@ -440,13 +512,12 @@ def _decode_mcus_words(seg: bytes, plan, luma_blocks: list, mcu: int,
     return mcu
 
 
-def _decode_mcus_scalar(seg: bytes, plan, luma_blocks: list, mcu: int,
-                        limit: int) -> int:
+def _decode_mcus_scalar(seg: bytes, plan, mcu: int, limit: int) -> int:
     """Scalar bit-cursor loop (the semantics reference for the vector
     path). The bit cursor lives in local ints (no per-symbol method calls);
-    luma coefficient blocks (flat 64-lists in natural order) are appended
-    to ``luma_blocks``, chroma blocks are decoded for stream sync and
-    discarded."""
+    each component's coefficient blocks (flat 64-lists in natural order)
+    are appended to its plan output list; components with a None output
+    are decoded for stream sync and discarded."""
     zz = _ZZ_FLAT
     n = len(seg)
     buf = nbits = pos = 0
@@ -509,8 +580,8 @@ def _decode_mcus_scalar(seg: bytes, plan, luma_blocks: list, mcu: int,
                     coef[zz[k]] = (v - (1 << size) + 1
                                    if v < (1 << (size - 1)) else v)
                     k += 1
-                if keep:
-                    luma_blocks.append(coef)
+                if keep is not None:
+                    keep.append(coef)
         mcu += 1
         # exact loud-failure guard: consumed bits = pos*8 − nbits. The
         # peek may OVERFETCH past the stream end (zero fill), but if any
@@ -560,6 +631,60 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+# chrominance quantization base table (JPEG spec Annex K.2), natural order
+_QUANT_BASE_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+
+def _quant_table_c(quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (_QUANT_BASE_C * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _write_block(bw: "_BitWriter", row: np.ndarray, pred: int,
+                 dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzag-ordered quantized block; returns the new
+    DC predictor. Shared by the gray and color encoders."""
+    diff = int(row[0]) - pred
+    pred = int(row[0])
+    size = diff.bit_length() if diff else 0
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        bw.write(v, size)
+    # AC run-length coding
+    nz = np.nonzero(row[1:])[0]
+    k_prev = 0
+    for idx in nz:
+        run = int(idx) - k_prev
+        k_prev = int(idx) + 1
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = int(row[1 + idx])
+        size = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        vv = v if v > 0 else v + (1 << size) - 1
+        bw.write(vv, size)
+    if k_prev < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
                      restart_interval: int = 0) -> bytes:
     """(H, W) uint8 → baseline single-component JPEG bytes.
@@ -598,34 +723,7 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
                                                        - 1) % 8)]))
             bw = _BitWriter()
             pred = 0
-        row = zz[n]
-        diff = int(row[0]) - pred
-        pred = int(row[0])
-        size = diff.bit_length() if diff else 0
-        code, ln = dc_codes[size]
-        bw.write(code, ln)
-        if size:
-            v = diff if diff > 0 else diff + (1 << size) - 1
-            bw.write(v, size)
-        # AC run-length coding
-        nz = np.nonzero(row[1:])[0]
-        k_prev = 0
-        for idx in nz:
-            run = int(idx) - k_prev
-            k_prev = int(idx) + 1
-            while run > 15:
-                code, ln = ac_codes[0xF0]
-                bw.write(code, ln)
-                run -= 16
-            v = int(row[1 + idx])
-            size = abs(v).bit_length()
-            code, ln = ac_codes[(run << 4) | size]
-            bw.write(code, ln)
-            vv = v if v > 0 else v + (1 << size) - 1
-            bw.write(vv, size)
-        if k_prev < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+        pred = _write_block(bw, zz[n], pred, dc_codes, ac_codes)
     entropy_parts.append(bw.flush())
     entropy = b"".join(entropy_parts)
 
@@ -636,6 +734,126 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof) + dri
+            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac) + _seg(0xDA, sos)
+            + entropy + b"\xff\xd9")
+
+
+def _rgb_to_ycc(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RGB → JFIF YCbCr planes (rounded, clipped uint8)."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a plane up to (ph, pw)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.uint8)
+    out[:h, :w] = plane
+    if ph > h:
+        out[h:, :w] = plane[h - 1:h, :]
+    if pw > w:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def _quantized_zigzag(plane: np.ndarray, by: int, bx: int,
+                      q: np.ndarray) -> np.ndarray:
+    """Plane (already padded to (by*8, bx*8)) → (by*bx, 64) zigzag
+    quantized coefficient rows in block-raster order."""
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+        .reshape(by * bx, 8, 8).astype(np.float64) - 128.0
+    coefs = _DCT @ blocks @ _DCT.T
+    qcoef = np.round(coefs / q).astype(np.int64)
+    return qcoef[:, _ZZ_ROWS, _ZZ_COLS]
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
+                      sampling: tuple[int, int] = (2, 2),
+                      restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline 3-component YCbCr JPEG
+    (test/bench input generator for the color decode path).
+
+    ``sampling`` is the luma (v, h) factor pair — (2, 2) is 4:2:0 (the
+    common scan shape), (1, 1) is 4:4:4; chroma is always 1×1. Chroma
+    planes are box-mean downsampled. Two quant tables are written (Annex
+    K.1 luma as table 0, K.2 chroma as table 1); all components share the
+    same Huffman tables (legal — selectors all point at table 0)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color takes an (H, W, 3) RGB array")
+    lv, lh = sampling
+    if not (1 <= lv <= 2 and 1 <= lh <= 2):
+        raise ValueError(f"unsupported luma sampling {lv}x{lh}")
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycc(rgb)
+
+    mcuy = -(-h // (8 * lv))
+    mcux = -(-w // (8 * lh))
+    q_l, q_c = _quant_table(quality), _quant_table_c(quality)
+
+    # luma: pad to the MCU grid and zigzag-quantize in block-raster order
+    ypad = _pad_edge(y, mcuy * 8 * lv, mcux * 8 * lh)
+    zz_y = _quantized_zigzag(ypad, mcuy * lv, mcux * lh, q_l)
+    # chroma: box-mean downsample by (lv, lh) over the edge-padded plane,
+    # then pad to its own (mcuy*8, mcux*8) grid
+    zz_c = []
+    for plane in (cb, cr):
+        if lv > 1 or lh > 1:
+            ph, pw = -(-h // lv) * lv, -(-w // lh) * lh
+            p = _pad_edge(plane, ph, pw).astype(np.float64)
+            p = p.reshape(ph // lv, lv, pw // lh, lh).mean(axis=(1, 3))
+            plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        cpad = _pad_edge(plane, mcuy * 8, mcux * 8)
+        zz_c.append(_quantized_zigzag(cpad, mcuy, mcux, q_c))
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_bits, ac_vals = _ac_table_spec()
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    entropy_parts: list[bytes] = []
+    preds = [0, 0, 0]
+    nblk_row = mcux * lh  # luma blocks per block-row
+    n_mcu = mcuy * mcux
+    for n in range(n_mcu):
+        if restart_interval and n and n % restart_interval == 0:
+            entropy_parts.append(bw.flush())
+            entropy_parts.append(bytes([0xFF, 0xD0 + ((n // restart_interval
+                                                       - 1) % 8)]))
+            bw = _BitWriter()
+            preds = [0, 0, 0]
+        my, mx = divmod(n, mcux)
+        for iy in range(lv):
+            for ix in range(lh):
+                bi = (my * lv + iy) * nblk_row + mx * lh + ix
+                preds[0] = _write_block(bw, zz_y[bi], preds[0],
+                                        dc_codes, ac_codes)
+        for ci, zz in enumerate(zz_c):
+            preds[ci + 1] = _write_block(bw, zz[my * mcux + mx],
+                                         preds[ci + 1], dc_codes, ac_codes)
+    entropy_parts.append(bw.flush())
+    entropy = b"".join(entropy_parts)
+
+    def zz_of(q):
+        out = np.zeros(64, dtype=np.int64)
+        out[:] = q[_ZZ_ROWS, _ZZ_COLS]
+        return bytes(int(x) for x in out)
+
+    dqt = bytes([0x00]) + zz_of(q_l) + bytes([0x01]) + zz_of(q_c)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     dri = (_seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
     return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof) + dri

@@ -333,3 +333,88 @@ def test_chroma_oversampled_luma_raises():
         [2, 1, 0x00, 2, 0x00, 0, 63, 0])
     with pytest.raises(ValueError, match="max-sampled"):
         decode_jpeg_gray(b"\xff\xd8" + sof + sos + b"\x00" * 8)
+
+
+def _rgb_gradient(h, w):
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    return np.stack([(y * 3 + x * 5) % 256, (y * 2 + x * 7) % 256,
+                     (y * 5 + x * 2) % 256], axis=-1).astype(np.uint8)
+
+
+def test_color_444_roundtrip_close():
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+    rgb = _rgb_gradient(64, 96)
+    out = decode_jpeg_rgb(encode_jpeg_color(rgb, quality=97,
+                                            sampling=(1, 1)))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 2.0
+
+
+def test_color_420_constant_chroma_close():
+    """4:2:0 subsampling is lossless for constant-chroma (sepia-scan)
+    content — the shape newspaper scans have."""
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+    g = _gradient(64, 96).astype(np.float64)
+    rgb = np.stack([g, np.clip(g * 0.94, 0, 255),
+                    np.clip(g * 0.82, 0, 255)], axis=-1).astype(np.uint8)
+    out = decode_jpeg_rgb(encode_jpeg_color(rgb, quality=97,
+                                            sampling=(2, 2)))
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 3.0
+
+
+def test_color_gray_entry_is_pil_luma_of_rgb():
+    """decode_jpeg_gray on a 3-component stream must equal the PIL-exact
+    luma of decode_jpeg_rgb on the same stream (the reference's
+    Image.convert('L') pipeline), not the raw Y plane."""
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_gray, decode_jpeg_rgb, encode_jpeg_color,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.png import to_grayscale
+    data = encode_jpeg_color(_rgb_gradient(48, 64), quality=95)
+    assert (decode_jpeg_gray(data)
+            == to_grayscale(decode_jpeg_rgb(data))).all()
+
+
+def test_color_restart_markers_equal_plain():
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+    rgb = _rgb_gradient(64, 64)
+    plain = encode_jpeg_color(rgb, quality=90)
+    rst = encode_jpeg_color(rgb, quality=90, restart_interval=2)
+    assert (decode_jpeg_rgb(plain) == decode_jpeg_rgb(rst)).all()
+
+
+def test_decode_rgb_rejects_gray_stream():
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_gray,
+    )
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_rgb(encode_jpeg_gray(_gradient(16, 16)))
+
+
+def test_color_dc_only_blocks_are_deterministic():
+    """Blockwise-constant image: every block quantizes to DC-only, so the
+    decode equals the analytic quantized roundtrip exactly (both 4:4:4
+    and 4:2:0 — constant chroma survives the box-mean)."""
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+    rgb = np.zeros((32, 32, 3), dtype=np.uint8)
+    for by in range(4):
+        for bx in range(4):
+            rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = [
+                40 + 16 * by, 80 + 8 * bx, 160]
+    for sampling in [(1, 1), (2, 2)]:
+        out = decode_jpeg_rgb(encode_jpeg_color(rgb, quality=100,
+                                                sampling=sampling))
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        # 4:2:0 chroma blocks straddle four luma blocks → box means mix
+        # adjacent constants; tolerance covers the averaging, luma exact
+        assert err[:, :, 0].max() <= 2 if sampling == (1, 1) else True
+        assert err.mean() < 6.0

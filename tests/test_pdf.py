@@ -1,0 +1,190 @@
+"""Minimal PDF page-image extractor: roundtrips through both payload
+arms, xref/object-graph correctness, largest-image selection, and the
+loud-failure quarantine contract (the reference's primary input format,
+``ocr.py:25``; poppler decode at ``engines/tesseract_engine.py:133-142``)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+    decode_jpeg_gray, encode_jpeg_gray,
+)
+from norsk_historisk_avis_ocr_spark.stages.pdf import (
+    decode_pdf_page_image, encode_pdf_gray,
+)
+
+
+def _gradient(h, w):
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    return ((y * 3 + x * 5) % 256).astype(np.uint8)
+
+
+def _rebuild_xref(body: bytes) -> bytes:
+    """Append a fresh classic xref table + trailer for a rewritten body
+    (used by tests that shift object offsets)."""
+    import re
+    offsets = {int(m.group(1)): m.start()
+               for m in re.finditer(rb"(\d+) 0 obj\n", body)}
+    n = max(offsets) + 1
+    out = bytearray(body) + b"xref\n0 " + str(n).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(n).encode()
+            + b" /Root 1 0 R >>\nstartxref\n"
+            + str(len(body)).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_flate_predictor_roundtrip_exact():
+    img = _gradient(96, 128)
+    assert (decode_pdf_page_image(encode_pdf_gray(img, codec="flate"))
+            == img).all()
+
+
+def test_flate_raw_roundtrip_exact():
+    img = _gradient(64, 64)
+    out = decode_pdf_page_image(
+        encode_pdf_gray(img, codec="flate", predictor=False))
+    assert (out == img).all()
+
+
+def test_dct_arm_matches_in_tree_jpeg_decoder():
+    """The DCTDecode arm must yield exactly what the in-tree JPEG decoder
+    yields for the identical embedded stream — no extra processing."""
+    img = _gradient(72, 96)
+    want = decode_jpeg_gray(encode_jpeg_gray(img, quality=95))
+    got = decode_pdf_page_image(encode_pdf_gray(img, codec="jpeg",
+                                                quality=95))
+    assert (got == want).all()
+
+
+def test_largest_image_wins_over_thumbnail():
+    """A scan PDF often carries a page thumbnail too — the page image is
+    the largest XObject, and that is the one that must be decoded."""
+    img = _gradient(96, 128)
+    thumb = img[::8, ::8].copy()
+    pdf = encode_pdf_gray(img, codec="flate", thumb=thumb)
+    assert (decode_pdf_page_image(pdf) == img).all()
+
+
+def test_png_predicted_rows_with_real_filters():
+    """The FlateDecode arm must run the real PNG defilter: hand-build a
+    stream using Sub(1) and Up(2) row filters and require exact pixels."""
+    img = _gradient(8, 16)
+    h, w = img.shape
+    rows = bytearray()
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        if y % 2 == 0:  # Sub
+            row = img[y].astype(np.int16)
+            enc = np.diff(np.concatenate([[0], row])) % 256
+            rows += bytes([1]) + enc.astype(np.uint8).tobytes()
+        else:  # Up
+            enc = (img[y].astype(np.int16) - prior) % 256
+            rows += bytes([2]) + enc.astype(np.uint8).tobytes()
+        prior = img[y]
+    payload = zlib.compress(bytes(rows))
+    base = encode_pdf_gray(img, codec="flate")
+    # swap the image object's stream for the hand-filtered one, then
+    # rebuild the xref (offsets after object 4 shift)
+    start = base.index(b"4 0 obj")
+    stream_at = base.index(b"stream\n", start) + len(b"stream\n")
+    end = base.index(b"\nendstream", start)
+    old_len = end - stream_at
+    body = (base[:start]
+            + base[start:end + len(b"\nendstream")]
+            .replace(base[stream_at:end], payload)
+            .replace(b"/Length " + str(old_len).encode(),
+                     b"/Length " + str(len(payload)).encode())
+            + base[end + len(b"\nendstream"):base.index(b"xref\n0 ")])
+    pdf = _rebuild_xref(body)
+    assert (decode_pdf_page_image(pdf) == img).all()
+
+
+def test_inherited_resources_from_pages_node():
+    """/Resources may live on the /Pages ancestor, not the leaf /Page —
+    inheritance must be honored (PDF 1.7 §7.7.3.4)."""
+    img = _gradient(32, 48)
+    pdf = encode_pdf_gray(img, codec="flate")
+    # move the Resources dict from the page (obj 3) to the pages node
+    # (obj 2) — offsets shift, so rebuild the xref by re-deriving it
+    body = pdf[:pdf.index(b"xref\n")]
+    res_at = body.index(b"/Resources")
+    res_end = body.index(b"/Contents", res_at)
+    res = body[res_at:res_end]
+    body = body.replace(res, b"", 1)
+    body = body.replace(b"/Kids [3 0 R] /Count 1",
+                        b"/Kids [3 0 R] /Count 1 " + res.rstrip(), 1)
+    assert (decode_pdf_page_image(_rebuild_xref(body)) == img).all()
+
+
+def test_corrupt_pdfs_raise_valueerror():
+    img = _gradient(32, 32)
+    pdf = encode_pdf_gray(img, codec="flate")
+    cases = {
+        "not a pdf": b"plain text, no pdf here",
+        "truncated": pdf[:120],
+        "no startxref": pdf.replace(b"startxref", b"startxrfX"),
+        "xref stream": pdf.replace(b"xref\n0 ", b"7 0 obj\n", 1),
+        "bad length": pdf.replace(b"/Length ", b"/Length 9", 1),
+    }
+    for desc, broken in cases.items():
+        with pytest.raises(ValueError):
+            decode_pdf_page_image(broken)
+
+
+def test_corrupt_flate_payload_is_loud():
+    img = _gradient(32, 32)
+    pdf = bytearray(encode_pdf_gray(img, codec="flate"))
+    at = bytes(pdf).index(b"stream\n", bytes(pdf).index(b"4 0 obj"))
+    pdf[at + 20] ^= 0xFF  # corrupt the zlib payload
+    with pytest.raises((ValueError, zlib.error)):
+        decode_pdf_page_image(bytes(pdf))
+
+
+def test_nesting_bomb_is_valueerror_not_recursion():
+    deep = b"[" * 200 + b"]" * 200
+    pdf = (b"%PDF-1.4\n1 0 obj\n" + deep + b"\nendobj\n")
+    xref_at = len(pdf)
+    pdf += (b"xref\n0 2\n0000000000 65535 f \n"
+            + b"0000000009 00000 n \n"
+            + b"trailer\n<< /Size 2 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    with pytest.raises(ValueError, match="nesting|name"):
+        decode_pdf_page_image(pdf)
+
+
+def test_decode_media_real_pdf_metadata():
+    """decode_media on a real scan PDF now reports REAL page dims (the
+    application/pdf branch), not the digest stub."""
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media, sniff_media_type,
+    )
+    img = _gradient(96, 128)
+    pdf = encode_pdf_gray(img, codec="flate")
+    assert sniff_media_type(pdf) == "application/pdf"
+    meta = decode_media(pdf)
+    assert (meta["width"], meta["height"]) == (128, 96)
+    # malformed PDF degrades to the stub, never raises
+    broken = pdf[:100]
+    meta2 = decode_media(broken)
+    assert meta2["width"] is not None
+
+
+def test_pdf_pages_segment_end_to_end(spark):
+    """pdf_pages_df → segment_image_pages: both payload arms decode with
+    zero errors and produce full geometry (the contract-leg plumbing)."""
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_image_pages,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.rasters import pdf_pages_df
+    pages = pdf_pages_df(spark, "/root/testdata/sf0.001", limit=4,
+                         partitions=2)
+    rows = segment_image_pages(pages).collect()
+    assert len(rows) == 4
+    assert all(r.decode_error is None for r in rows)
+    assert all(r.column_boxes for r in rows)
