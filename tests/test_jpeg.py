@@ -418,3 +418,66 @@ def test_color_dc_only_blocks_are_deterministic():
         # adjacent constants; tolerance covers the averaging, luma exact
         assert err[:, :, 0].max() <= 2 if sampling == (1, 1) else True
         assert err.mean() < 6.0
+
+
+def test_vector_lockstep_matches_scalar_gray(monkeypatch):
+    """The numpy lockstep decoder (many restart segments) must be
+    bit-exact vs the scalar path on the same stream, and restart/plain
+    streams must decode to identical pixels."""
+    from norsk_historisk_avis_ocr_spark.stages import jpeg as J
+
+    img = _gradient(160, 160)  # 400 MCUs
+    plain = encode_jpeg_gray(img, quality=85)
+    rst = encode_jpeg_gray(img, quality=85, restart_interval=1)  # 400 lanes
+    want = decode_jpeg_gray(plain)
+    got_vec = decode_jpeg_gray(rst)          # lanes >= _VECTOR_MIN_LANES
+    monkeypatch.setattr(J, "_VECTOR_MIN_LANES", 10 ** 9)
+    got_scalar = decode_jpeg_gray(rst)       # forced scalar on same bytes
+    assert (got_vec == got_scalar).all()
+    assert (got_vec == want).all()
+
+
+def test_vector_lockstep_matches_scalar_color(monkeypatch):
+    from norsk_historisk_avis_ocr_spark.stages import jpeg as J
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+
+    rgb = _rgb_gradient(160, 160)
+    rst = encode_jpeg_color(rgb, quality=85, sampling=(2, 2),
+                            restart_interval=1)  # 100 MCUs -> 100 lanes
+    monkeypatch.setattr(J, "_VECTOR_MIN_LANES", 64)
+    got_vec = decode_jpeg_rgb(rst)
+    monkeypatch.setattr(J, "_VECTOR_MIN_LANES", 10 ** 9)
+    got_scalar = decode_jpeg_rgb(rst)
+    assert (got_vec == got_scalar).all()
+
+
+def test_jpeg_corrupt_bytes_never_silent_vector_path(monkeypatch):
+    """Bit-flip/truncation fuzz with the lockstep vector decoder forced:
+    corrupt restart streams must raise a quarantinable error or decode to
+    the right shape — never crash with a foreign exception."""
+    from hypothesis import given, settings, strategies as st
+
+    from norsk_historisk_avis_ocr_spark.stages import jpeg as J
+
+    monkeypatch.setattr(J, "_VECTOR_MIN_LANES", 2)
+    base = encode_jpeg_gray(_gradient(48, 48), quality=80,
+                            restart_interval=1)  # 36 lanes
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(2, len(base) - 1), st.integers(0, 7),
+           st.booleans())
+    def prop(pos, bit, truncate):
+        data = bytearray(base)
+        if truncate:
+            data = data[:pos]
+        else:
+            data[pos] ^= 1 << bit
+        try:
+            out = decode_jpeg_gray(bytes(data))
+            assert out.shape == (48, 48)
+        except (ValueError, struct.error, IndexError):
+            pass  # the exceptions decode_media quarantines
+
+    prop()
