@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType, BinaryType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 BOX_TYPE = StructType([
@@ -213,3 +214,67 @@ def segment_image_pages(df: DataFrame, id_col: str = "page_id",
 
 # Historical name (round 2): the operator now also decodes baseline JPEG.
 segment_png_pages = segment_image_pages
+
+
+def segment_pdf_issues(df: DataFrame, id_col: str = "issue_id",
+                       pdf_col: str = "pdf") -> DataFrame:
+    """Multi-page scan PDFs → one layout-geometry row per page
+    (1→N expansion): the reference's issue shape — ``ocr.py`` hands each
+    PDF to the engine, which rasterizes and processes EVERY page
+    (``engines/tesseract_engine.py:133-142`` iterates poppler's per-page
+    output). Decode (``stages/pdf.py``, lazily per page) + L1-L4
+    segmentation fused in one Arrow-batched stage; a malformed issue
+    yields a single quarantine row (page_index -1) instead of failing
+    the task, and a single bad page quarantines only that page."""
+    schema = StructType(
+        [StructField("issue_id", StringType(), True),
+         StructField("page_index", LongType(), True)]
+        + [StructField(f.name, f.dataType, True) for f in LAYOUT_SCHEMA[1:]]
+        + [StructField("decode_error", StringType(), True)])
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..stages.layout import split_columns_geometry
+        from ..stages.pdf import _Doc, _decode_largest, _walk_pages
+
+        def box(t):
+            if t is None:
+                return None
+            return {"x0": int(t[0]), "y0": int(t[1]),
+                    "x1": int(t[2]), "y1": int(t[3])}
+
+        def quarantine(iid, page_idx, exc):
+            return {"issue_id": iid, "page_index": page_idx,
+                    "boundaries": None, "body_top": None,
+                    "title_box": None, "column_boxes": None,
+                    "decode_error": f"{type(exc).__name__}: {exc}"}
+
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[pdf_col]):
+                try:
+                    doc = _Doc(bytes(data))
+                    pages = _walk_pages(doc)
+                except Exception as exc:  # noqa: BLE001 - quarantine issue
+                    rows.append(quarantine(iid, -1, exc))
+                    continue
+                for idx, (page, resources) in enumerate(pages):
+                    try:
+                        gray = _decode_largest(doc, page, resources)
+                        geo = split_columns_geometry(gray)
+                        rows.append({
+                            "issue_id": iid, "page_index": idx,
+                            "boundaries": [int(x)
+                                           for x in geo["boundaries"]],
+                            "body_top": [int(x) for x in geo["body_top"]],
+                            "title_box": box(geo["title_box"]),
+                            "column_boxes": [box(b)
+                                             for b in geo["column_boxes"]],
+                            "decode_error": None,
+                        })
+                    except Exception as exc:  # noqa: BLE001 - per page
+                        rows.append(quarantine(iid, idx, exc))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=schema)

@@ -246,42 +246,48 @@ class _Doc:
         return v
 
 
-def _first_page(doc: _Doc) -> tuple[dict, dict | None]:
-    """Walk the /Pages tree to the first leaf /Page; returns (page dict,
-    nearest inherited /Resources seen on the way down)."""
+def _walk_pages(doc: _Doc) -> list[tuple[dict, dict | None]]:
+    """Depth-first walk of the /Pages tree → [(leaf page dict, nearest
+    inherited /Resources)] in document order (PDF 1.7 §7.7.3)."""
     root = doc.deref(doc.trailer.get("Root"))
     if not isinstance(root, dict):
         raise ValueError("PDF trailer /Root missing")
-    node = doc.deref(root.get("Pages"))
-    resources = None
-    for _ in range(64):  # depth guard
+    pages: list[tuple[dict, dict | None]] = []
+
+    def walk(node, resources, depth):
+        if depth > 64 or len(pages) > 10_000:
+            raise ValueError("PDF page tree too deep or too large")
         if not isinstance(node, dict):
             raise ValueError("malformed PDF page tree")
         if node.get("Resources") is not None:
             resources = doc.deref(node["Resources"])
         if str(node.get("Type")) == "Page":
-            return node, resources
+            pages.append((node, resources))
+            return
         kids = doc.deref(node.get("Kids"))
         if not isinstance(kids, list) or not kids:
             raise ValueError("PDF page tree has no pages")
-        node = doc.deref(kids[0])
-    raise ValueError("PDF page tree too deep")
+        for kid in kids:
+            walk(doc.deref(kid), resources, depth + 1)
+
+    walk(doc.deref(root.get("Pages")), None, 0)
+    return pages
 
 
-def _page_images(doc: _Doc) -> list[_Stream]:
-    page, resources = _first_page(doc)
+def _page_images(doc: _Doc, page: dict,
+                 resources: dict | None) -> list[_Stream]:
     if not isinstance(resources, dict):
-        raise ValueError("PDF first page has no /Resources")
+        raise ValueError("PDF page has no /Resources")
     xobjects = doc.deref(resources.get("XObject"))
     if not isinstance(xobjects, dict):
-        raise ValueError("PDF first page has no image XObjects")
+        raise ValueError("PDF page has no image XObjects")
     images = []
     for name in sorted(xobjects):
         xo = doc.deref(xobjects[name])
         if isinstance(xo, _Stream) and str(xo.d.get("Subtype")) == "Image":
             images.append(xo)
     if not images:
-        raise ValueError("PDF first page has no image XObjects")
+        raise ValueError("PDF page has no image XObjects")
     return images
 
 
@@ -347,14 +353,22 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
     raise ValueError(f"unsupported PDF image filter {filt}")
 
 
-def decode_pdf_page_image(data: bytes) -> np.ndarray:
-    """First page's largest image XObject → (H, W) uint8 luma — the
+def decode_pdf_page_image(data: bytes, page: int = 0) -> np.ndarray:
+    """Page ``page``'s largest image XObject → (H, W) uint8 luma — the
     scanned-page decode path (a newspaper scan PDF is one full-page image
     per page). Largest by pixel count, ties broken by XObject name order
     (deterministic). Raises ``ValueError`` on anything it cannot decode
     faithfully."""
     doc = _Doc(data)
-    images = _page_images(doc)
+    pages = _walk_pages(doc)
+    if not 0 <= page < len(pages):
+        raise ValueError(f"PDF has {len(pages)} pages, no page {page}")
+    return _decode_largest(doc, *pages[page])
+
+
+def _decode_largest(doc: _Doc, page: dict,
+                    resources: dict | None) -> np.ndarray:
+    images = _page_images(doc, page, resources)
 
     def pixels(s: _Stream) -> int:
         w, h = doc.deref(s.d.get("Width")), doc.deref(s.d.get("Height"))
@@ -364,22 +378,41 @@ def decode_pdf_page_image(data: bytes) -> np.ndarray:
     return _decode_image(doc, max(images, key=pixels))
 
 
+def pdf_page_count(data: bytes) -> int:
+    """Number of pages (an O(page-tree) metadata probe — no image
+    decode)."""
+    return len(_walk_pages(_Doc(data)))
+
+
+def decode_pdf_page_images(data: bytes):
+    """Every page's largest image XObject, in document order — the shape
+    a multi-page newspaper issue has (the reference rasterizes and OCRs
+    each page: ``engines/tesseract_engine.py:133-142`` iterates poppler's
+    per-page output). Yields (page_index, (H, W) uint8) lazily so callers
+    can bound work."""
+    doc = _Doc(data)
+    for idx, (page, resources) in enumerate(_walk_pages(doc)):
+        yield idx, _decode_largest(doc, page, resources)
+
+
 # --- encoder (test/bench input generator) ----------------------------------
 
-def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
-                    quality: int = 97, predictor: bool = True,
-                    thumb: np.ndarray | None = None) -> bytes:
-    """(H, W) uint8 → a minimal one-page PDF embedding the image as its
-    page-filling XObject — the shape a newspaper scan PDF has. ``codec``:
-    ``"jpeg"`` (DCTDecode via the in-tree encoder) or ``"flate"``
-    (FlateDecode; ``predictor=True`` writes PNG-predicted rows with
-    filter-type-0 prefixes). ``thumb`` adds a second, smaller image
-    XObject so decoders must pick the largest. Writes a valid classic
-    xref table (byte-exact offsets) so parsers exercise the real object
-    graph, not a scan fallback."""
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise ValueError("encode_pdf_gray wants (H, W) uint8")
-    h, w = img.shape
+def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
+                     quality: int = 97, predictor: bool = True,
+                     thumb: np.ndarray | None = None) -> bytes:
+    """(H, W) uint8 pages → a minimal multi-page PDF, one page-filling
+    image XObject per page — the shape a scanned newspaper issue has.
+    ``codec``: ``"jpeg"`` (DCTDecode via the in-tree encoder) or
+    ``"flate"`` (FlateDecode; ``predictor=True`` writes PNG-predicted
+    rows with filter-type-0 prefixes). ``thumb`` adds a second, smaller
+    image XObject to page 1 so decoders must pick the largest. Writes a
+    valid classic xref table (byte-exact offsets) so parsers exercise
+    the real object graph, not a scan fallback."""
+    if not imgs:
+        raise ValueError("encode_pdf_pages wants at least one page")
+    for img in imgs:
+        if img.ndim != 2 or img.dtype != np.uint8:
+            raise ValueError("encode_pdf_pages wants (H, W) uint8 pages")
 
     def image_obj(arr: np.ndarray) -> bytes:
         ih, iw = arr.shape
@@ -407,24 +440,33 @@ def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
                 + b" >>\nstream\n")
         return head + payload + b"\nendstream"
 
-    xobjects = b"/Im0 4 0 R"
-    if thumb is not None:
-        xobjects += b" /Im1 6 0 R"
-    content = (b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
-               + b" 0 0 cm /Im0 Do Q")
-    bodies = {
-        1: b"<< /Type /Catalog /Pages 2 0 R >>",
-        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+    # object layout: 1 catalog, 2 pages node, then per page p (0-based):
+    # 3+3p page, 4+3p image, 5+3p contents; thumb (if any) last
+    bodies: dict[int, bytes] = {}
+    kids = []
+    thumb_num = 3 + 3 * len(imgs)
+    for p, img in enumerate(imgs):
+        h, w = img.shape
+        page_num, img_num, cont_num = 3 + 3 * p, 4 + 3 * p, 5 + 3 * p
+        kids.append(f"{page_num} 0 R".encode())
+        xobjects = b"/Im0 " + str(img_num).encode() + b" 0 R"
+        if thumb is not None and p == 0:
+            xobjects += b" /Im1 " + str(thumb_num).encode() + b" 0 R"
+        content = (b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
+                   + b" 0 0 cm /Im0 Do Q")
+        bodies[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
             + str(w).encode() + b" " + str(h).encode()
             + b"] /Resources << /XObject << " + xobjects
-            + b" >> >> /Contents 5 0 R >>"),
-        4: image_obj(img),
-        5: (b"<< /Length " + str(len(content)).encode()
-            + b" >>\nstream\n" + content + b"\nendstream"),
-    }
+            + b" >> >> /Contents " + str(cont_num).encode() + b" 0 R >>")
+        bodies[img_num] = image_obj(img)
+        bodies[cont_num] = (b"<< /Length " + str(len(content)).encode()
+                            + b" >>\nstream\n" + content + b"\nendstream")
+    bodies[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    bodies[2] = (b"<< /Type /Pages /Kids [" + b" ".join(kids)
+                 + b"] /Count " + str(len(imgs)).encode() + b" >>")
     if thumb is not None:
-        bodies[6] = image_obj(thumb)
+        bodies[thumb_num] = image_obj(thumb)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -441,3 +483,11 @@ def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
             + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
             + b"\n%%EOF\n")
     return bytes(out)
+
+
+def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
+                    quality: int = 97, predictor: bool = True,
+                    thumb: np.ndarray | None = None) -> bytes:
+    """One-page convenience wrapper over :func:`encode_pdf_pages`."""
+    return encode_pdf_pages([img], codec=codec, quality=quality,
+                            predictor=predictor, thumb=thumb)

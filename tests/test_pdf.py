@@ -188,3 +188,46 @@ def test_pdf_pages_segment_end_to_end(spark):
     assert len(rows) == 4
     assert all(r.decode_error is None for r in rows)
     assert all(r.column_boxes for r in rows)
+
+
+def test_multipage_pdf_roundtrip_and_count():
+    from norsk_historisk_avis_ocr_spark.stages.pdf import (
+        decode_pdf_page_images, encode_pdf_pages, pdf_page_count,
+    )
+    pages = [_gradient(24 + 8 * i, 40) for i in range(3)]
+    pdf = encode_pdf_pages(pages, codec="flate")
+    assert pdf_page_count(pdf) == 3
+    for i, img in enumerate(pages):
+        assert (decode_pdf_page_image(pdf, page=i) == img).all()
+    got = list(decode_pdf_page_images(pdf))
+    assert [i for i, _ in got] == [0, 1, 2]
+    assert all((a == b).all() for (_, a), b in zip(got, pages))
+    with pytest.raises(ValueError, match="no page 5"):
+        decode_pdf_page_image(pdf, page=5)
+
+
+def test_segment_pdf_issues_explodes_pages(spark):
+    """1→N issue explosion: every page of a multi-page scan PDF becomes
+    a geometry row; a corrupt issue quarantines as one page_index=-1 row
+    without failing the task."""
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_pdf_issues,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.rasters import (
+        synth_page_array,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.pdf import encode_pdf_pages
+    issue = encode_pdf_pages(
+        [synth_page_array(f"page-{i}", width=700, height=520)
+         for i in range(2)], codec="flate")
+    df = spark.createDataFrame(
+        [("issue-1", bytearray(issue)),
+         ("issue-bad", bytearray(b"%PDF-1.4 garbage no xref"))],
+        "issue_id string, pdf binary")
+    rows = {(r.issue_id, r.page_index): r
+            for r in segment_pdf_issues(df).collect()}
+    assert set(rows) == {("issue-1", 0), ("issue-1", 1), ("issue-bad", -1)}
+    assert rows[("issue-1", 0)].decode_error is None
+    assert rows[("issue-1", 0)].column_boxes
+    assert rows[("issue-1", 1)].decode_error is None
+    assert "ValueError" in rows[("issue-bad", -1)].decode_error
