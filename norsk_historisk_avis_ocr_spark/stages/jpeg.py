@@ -23,9 +23,12 @@ minimal codec:
   interleaved YCbCr MCUs with selectable luma sampling (4:2:0 default)
   and the Annex K.2 chroma quant table.
 
-Anything non-baseline (progressive SOF2, arithmetic coding, 12-bit,
-hierarchical) raises ``ValueError`` so callers can quarantine rather than
-mis-decode — the same loud-failure contract as the PNG codec.
+Progressive (SOF2) grayscale streams dispatch to
+``stages/jpeg_progressive.py`` (DC/AC spectral-selection scans,
+successive approximation, EOB-run coding). Everything else non-baseline
+(progressive color, arithmetic coding, 12-bit, hierarchical) raises
+``ValueError`` so callers can quarantine rather than mis-decode — the
+same loud-failure contract as the PNG codec.
 
 Performance shape: dequant + IDCT run as one batched matmul over every
 block. Huffman decode has two paths: streams with many restart segments
@@ -309,7 +312,13 @@ def _decode_jpeg(data: bytes, rgb: bool):
             if w == 0 or h == 0 or ncomp == 0:
                 raise ValueError("empty JPEG frame")
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2 progressive → dedicated decoder
+            if rgb:
+                raise ValueError(
+                    "progressive color decode unsupported (grayscale only)")
+            from .jpeg_progressive import decode_progressive_gray
+            return decode_progressive_gray(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding (SOF{marker - 0xC0}); "

@@ -81,12 +81,17 @@ def test_restart_markers_roundtrip():
     assert (decode_jpeg_gray(rst) == decode_jpeg_gray(plain)).all()
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_nonbaseline_and_garbage():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg_gray(img))
     sof = bytes(data).index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="SOF2"):
+    data[sof + 1] = 0xC3  # flip SOF0 → SOF3 (lossless — unsupported)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg_gray(bytes(data))
+    # SOF2 now DELEGATES to the progressive decoder; a baseline stream
+    # relabeled progressive is malformed there (its SOS is full-band)
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg_gray(b"\xff\xd8\x00garbage")
@@ -167,7 +172,9 @@ def test_jpeg_corrupt_bytes_never_silent_hypothesis():
             data[pos] ^= 1 << bit
         try:
             out = decode_jpeg_gray(bytes(data))
-            assert out.shape == (24, 24)
+            # a flipped bit may land in the SOF dims — any well-formed
+            # 2-D result is fine; the contract is no silent crash
+            assert out.ndim == 2 and out.size > 0
         except (ValueError, struct.error, IndexError):
             pass  # the exceptions decode_media quarantines
 
@@ -295,7 +302,9 @@ def test_jpeg_corrupt_bytes_never_silent_word_path(monkeypatch):
             data[pos] ^= 1 << bit
         try:
             out = decode_jpeg_gray(bytes(data))
-            assert out.shape == (24, 24)
+            # a flipped bit may land in the SOF dims — any well-formed
+            # 2-D result is fine; the contract is no silent crash
+            assert out.ndim == 2 and out.size > 0
         except (ValueError, struct.error, IndexError):
             pass  # the exceptions decode_media quarantines
 
@@ -476,7 +485,7 @@ def test_jpeg_corrupt_bytes_never_silent_vector_path(monkeypatch):
             data[pos] ^= 1 << bit
         try:
             out = decode_jpeg_gray(bytes(data))
-            assert out.shape == (48, 48)
+            assert out.ndim == 2 and out.size > 0
         except (ValueError, struct.error, IndexError):
             pass  # the exceptions decode_media quarantines
 
