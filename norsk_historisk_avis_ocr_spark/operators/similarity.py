@@ -139,12 +139,15 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     candidate set; the scale path is :func:`embedding_dup_pairs_lsh`.
 
     ``max_rows`` fences the quadratic blowup: the input is counted (bounded
-    probe — ``limit(max_rows+1)``, never a full scan past the fence) and a
-    candidate set larger than ``max_rows`` raises instead of silently
-    launching an O(n²) join at corpus scale. Pass ``None`` to bypass when
-    the caller has already bounded the set (tests, pre-filtered buckets)."""
+    probe — ``limit(max_rows+1)`` over the key column only, never a full
+    scan past the fence) and a candidate set larger than ``max_rows``
+    raises instead of silently launching an O(n²) join at corpus scale.
+    NOTE: the probe is an eager action at operator-construction time (the
+    point of the fence is refusing BEFORE the quadratic plan exists);
+    pass ``None`` to keep construction fully lazy when the caller has
+    already bounded the set (tests, pre-filtered buckets)."""
     if max_rows is not None:
-        n = emb.limit(max_rows + 1).count()
+        n = emb.select("vec_id").limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"embedding_dup_pairs is all-pairs: input exceeds "

@@ -35,9 +35,9 @@ import struct
 import numpy as np
 
 from .jpeg import (
-    _DC_BITS, _DC_VALS, _DCT, _PeekTable, _ZZ_COLS, _ZZ_ROWS,
-    _ac_table_spec, _BitWriter, _canonical_codes, _destuff, _idct_blocks,
-    _quant_table, _seg,
+    _DC_BITS, _DC_VALS, _PeekTable, _ZZ_COLS, _ZZ_ROWS, _ac_table_spec,
+    _BitWriter, _canonical_codes, _destuff, _idct_blocks, _pad_edge,
+    _quant_table, _quantized_zigzag, _seg,
 )
 
 
@@ -115,6 +115,7 @@ def decode_progressive_gray(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     coef = None  # (n_blocks, 64) zigzag-order accumulated coefficients
+    saw_scan = False
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -178,11 +179,16 @@ def decode_progressive_gray(data: bytes) -> np.ndarray:
             pos = _decode_scan_progressive(
                 data, pos + 2 + seglen, body, frame, htables,
                 restart_interval, coef)
+            saw_scan = True
             continue  # pos already advanced past the scan's entropy data
         pos += 2 + seglen
 
     if frame is None or coef is None:
         raise ValueError("no SOF2 frame")
+    if not saw_scan:
+        # headers alone would "decode" to a uniform gray plane — silent
+        # garbage; same contract as the baseline "no SOS marker" raise
+        raise ValueError("no SOS marker (no image data)")
     q = qtables.get(frame["tq"])
     if q is None:
         raise ValueError("missing quantization table")
@@ -342,15 +348,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
     h, w = arr.shape
     q = _quant_table(quality)
     by, bx = -(-h // 8), -(-w // 8)
-    padded = np.empty((by * 8, bx * 8), dtype=np.uint8)
-    padded[:h, :w] = arr
-    padded[h:, :w] = arr[h - 1:h, :]
-    padded[:, w:] = padded[:, w - 1:w]
-    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
-        .reshape(by * bx, 8, 8).astype(np.float64) - 128.0
-    coefs = _DCT @ blocks @ _DCT.T
-    qcoef = np.round(coefs / q).astype(np.int64)
-    zz = qcoef[:, _ZZ_ROWS, _ZZ_COLS]  # (n, 64) zigzag
+    # same pad + DCT + quantize + zigzag pipeline as the baseline/color
+    # encoders (shared helpers — both encoders MUST produce identical
+    # quantized coefficients; the test exactness oracle depends on it)
+    zz = _quantized_zigzag(_pad_edge(arr, by * 8, bx * 8), by, bx, q)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_bits, ac_vals = _ac_table_spec_prog()

@@ -182,12 +182,16 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], dict]:
                 i += 20
             i = _skip_ws(data, i)
         t, i = _parse_object(data, i + len(b"trailer"))
+        if not isinstance(t, dict):
+            raise ValueError("PDF trailer is not a dictionary")
         if not trailer:
             trailer = t
         prev = t.get("Prev")
         if prev is None:
             break
-        offset = int(prev)
+        if not isinstance(prev, int):  # spec: /Prev is a direct integer
+            raise ValueError("PDF trailer /Prev is not an integer")
+        offset = prev
     return offsets, trailer
 
 
@@ -332,6 +336,9 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
             predictor = doc.deref(parms.get("Predictor", 1))
             colors = doc.deref(parms.get("Colors", 1))
             columns = doc.deref(parms.get("Columns", w))
+            if not all(isinstance(x, int)
+                       for x in (predictor, colors, columns)):
+                raise ValueError("PDF DecodeParms values are not integers")
             if colors != ncomp or columns != w:
                 raise ValueError("PDF DecodeParms disagree with image dims")
         if predictor >= 10:
@@ -353,17 +360,28 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
     raise ValueError(f"unsupported PDF image filter {filt}")
 
 
+# Exceptions a malformed object graph can surface from untyped PDF values
+# (e.g. a /Prev that is a reference, arithmetic on a _Name). Public entry
+# points translate them so the quarantine contract stays ValueError-only.
+_MALFORMED = (TypeError, AttributeError, KeyError, OverflowError)
+
+
 def decode_pdf_page_image(data: bytes, page: int = 0) -> np.ndarray:
     """Page ``page``'s largest image XObject → (H, W) uint8 luma — the
     scanned-page decode path (a newspaper scan PDF is one full-page image
     per page). Largest by pixel count, ties broken by XObject name order
     (deterministic). Raises ``ValueError`` on anything it cannot decode
     faithfully."""
-    doc = _Doc(data)
-    pages = _walk_pages(doc)
-    if not 0 <= page < len(pages):
-        raise ValueError(f"PDF has {len(pages)} pages, no page {page}")
-    return _decode_largest(doc, *pages[page])
+    try:
+        doc = _Doc(data)
+        pages = _walk_pages(doc)
+        if not 0 <= page < len(pages):
+            raise ValueError(f"PDF has {len(pages)} pages, no page {page}")
+        return _decode_largest(doc, *pages[page])
+    except _MALFORMED as exc:
+        raise ValueError(
+            f"malformed PDF object graph: {type(exc).__name__}: {exc}"
+        ) from exc
 
 
 def _decode_largest(doc: _Doc, page: dict,
@@ -381,7 +399,12 @@ def _decode_largest(doc: _Doc, page: dict,
 def pdf_page_count(data: bytes) -> int:
     """Number of pages (an O(page-tree) metadata probe — no image
     decode)."""
-    return len(_walk_pages(_Doc(data)))
+    try:
+        return len(_walk_pages(_Doc(data)))
+    except _MALFORMED as exc:
+        raise ValueError(
+            f"malformed PDF object graph: {type(exc).__name__}: {exc}"
+        ) from exc
 
 
 def decode_pdf_page_images(data: bytes):
@@ -390,9 +413,14 @@ def decode_pdf_page_images(data: bytes):
     each page: ``engines/tesseract_engine.py:133-142`` iterates poppler's
     per-page output). Yields (page_index, (H, W) uint8) lazily so callers
     can bound work."""
-    doc = _Doc(data)
-    for idx, (page, resources) in enumerate(_walk_pages(doc)):
-        yield idx, _decode_largest(doc, page, resources)
+    try:
+        doc = _Doc(data)
+        for idx, (page, resources) in enumerate(_walk_pages(doc)):
+            yield idx, _decode_largest(doc, page, resources)
+    except _MALFORMED as exc:
+        raise ValueError(
+            f"malformed PDF object graph: {type(exc).__name__}: {exc}"
+        ) from exc
 
 
 # --- encoder (test/bench input generator) ----------------------------------

@@ -117,3 +117,12 @@ def test_progressive_missing_scan_is_loud():
     cut = data[: len(data) - 40] + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_progressive_gray(cut)
+
+
+def test_headers_without_scans_raise():
+    """Headers + EOI but zero SOS scans must raise, not silently decode
+    to a uniform gray plane (code-review r4 finding)."""
+    data = encode_jpeg_progressive(_gradient(24, 24), quality=90)
+    sos = data.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_progressive_gray(data[:sos] + b"\xff\xd9")

@@ -231,3 +231,26 @@ def test_segment_pdf_issues_explodes_pages(spark):
     assert rows[("issue-1", 0)].column_boxes
     assert rows[("issue-1", 1)].decode_error is None
     assert "ValueError" in rows[("issue-bad", -1)].decode_error
+
+
+def test_malformed_object_graphs_are_valueerror():
+    """Untyped PDF values (a /Prev reference, a name-valued /Predictor,
+    a non-dict trailer) must surface as ValueError — the quarantine
+    contract — not TypeError/AttributeError escaping decode_media
+    (code-review r4 finding)."""
+    img = _gradient(16, 16)
+    base = encode_pdf_gray(img, codec="flate")
+    cases = [
+        base.replace(b"/Root 1 0 R >>", b"/Root 1 0 R /Prev 1 0 R >>"),
+        base.replace(b"/Predictor 15", b"/Predictor /Up"),
+        base.replace(b"trailer\n<< /Size", b"trailer\n(junk) << /Size"),
+    ]
+    for broken in cases:
+        with pytest.raises(ValueError):
+            decode_pdf_page_image(broken)
+    # and decode_media degrades to the stub (never raises)
+    from norsk_historisk_avis_ocr_spark.operators.multimodal import (
+        decode_media,
+    )
+    for broken in cases:
+        assert decode_media(broken)["width"] is not None
