@@ -319,17 +319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.sum("bad").alias("n_mismatch"))
 
     def raster_verified_jpeg(spark, sf):
-        """JPEG leg of the self-verifying raster row: pages encoded as
-        baseline JPEG (the reference's other payload encoding) — grayscale
-        single-component for even doc_ids, 3-component YCbCr 4:2:0 COLOR
-        scans for odd (round-4 upgrade: newspaper scans are routinely
-        color) — decoded by the in-tree ``stages/jpeg.py`` decoder inside
-        ``segment_image_pages`` (color → chroma upsample → RGB → PIL-exact
-        luma) and verified against the reference's ``_split_columns``
-        executed on the SAME decoded pixels — exact by construction
-        regardless of JPEG loss. 700×520 pages: the entropy decode is a
-        Python bitstream walk; smaller pages keep the contract probe fast
-        while still exercising dividers, masthead gaps, and subdivision."""
+        """JPEG leg of the self-verifying raster row: pages alternate by
+        doc_id % 3 between grayscale baseline, 3-component YCbCr 4:2:0
+        COLOR scans, and progressive (SOF2) grayscale (round-4 upgrades:
+        newspaper scans are routinely color, library digitizations
+        routinely progressive) — decoded by the in-tree ``stages/jpeg.py``
+        / ``stages/jpeg_progressive.py`` decoders inside
+        ``segment_image_pages`` and verified against the reference's
+        ``_split_columns`` executed on the SAME decoded pixels — exact by
+        construction regardless of JPEG loss. 700×520 pages keep the
+        contract probe fast while still exercising dividers, masthead
+        gaps, and subdivision."""
         _ensure_worker_path(spark)
         from norsk_historisk_avis_ocr_spark.operators.raster import (
             segment_image_pages,
@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from norsk_historisk_avis_ocr_spark.stages.jpeg import (
                 decode_jpeg_gray, encode_jpeg_color, encode_jpeg_gray,
             )
+            from norsk_historisk_avis_ocr_spark.stages.jpeg_progressive \
+                import encode_jpeg_progressive
 
             def as_tuple(box):
                 if box is None:
@@ -364,15 +366,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         bad += 1
                         continue
                     doc_id = int(row.page_id.split("-", 1)[1])
-                    if doc_id % 2 == 0:
+                    arm = doc_id % 3
+                    if arm == 0:
                         decoded = decode_jpeg_gray(encode_jpeg_gray(
                             synth_page_array(row.page_id, width=700,
                                              height=520), quality=97))
-                    else:
+                    elif arm == 1:
                         decoded = decode_jpeg_gray(encode_jpeg_color(
                             synth_color_page_array(row.page_id, width=700,
                                                    height=520),
                             quality=97, sampling=(2, 2)))
+                    else:
+                        decoded = decode_jpeg_gray(encode_jpeg_progressive(
+                            synth_page_array(row.page_id, width=700,
+                                             height=520), quality=97))
                     want_title, want_cols = golden_geometry(decoded)
                     got_cols = [as_tuple(b) for b in row.column_boxes]
                     if (as_tuple(row.title_box) != want_title

@@ -218,13 +218,15 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
     other native payload encoding (``tesseract_engine.py:143-144``). Same
     shape/contract as :func:`raster_pages_df` but the ``png`` column holds
     baseline JPEG bytes (the column name is the payload slot, sniffing
-    dispatches the codec). Alternates deterministically between grayscale
-    single-component pages (even doc_ids) and 3-component YCbCr 4:2:0
-    color scans of the sepia page (odd), so one leg exercises both decode
-    paths. Default dims are smaller than the PNG pages: baseline JPEG
-    entropy decode is a Python-loop bitstream walk, and the contract leg
-    only needs enough page to exercise every geometry path."""
+    dispatches the codec). Alternates deterministically by doc_id % 3:
+    grayscale baseline (0), 3-component YCbCr 4:2:0 color scans of the
+    sepia page (1), and progressive (SOF2) grayscale (2) — one leg
+    exercises every JPEG decode path each round. Default dims are
+    smaller than the PNG pages: JPEG entropy decode is the engine's
+    slowest per-byte path, and the contract leg only needs enough page
+    to exercise every geometry path."""
     from ..stages.jpeg import encode_jpeg_color, encode_jpeg_gray
+    from ..stages.jpeg_progressive import encode_jpeg_progressive
 
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if limit is not None:
@@ -241,16 +243,20 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
                 # restart intervals (standard scanner-output practice for
                 # error resilience) also enable the decoder's lockstep
                 # vector path: one lane per restart segment
-                if int(doc_id) % 2 == 0:
+                arm = int(doc_id) % 3
+                if arm == 0:
                     arr = synth_page_array(pid, width=width, height=height)
                     payload = encode_jpeg_gray(arr, quality=quality,
                                                restart_interval=2)
-                else:
+                elif arm == 1:
                     arr = synth_color_page_array(pid, width=width,
                                                  height=height)
                     payload = encode_jpeg_color(arr, quality=quality,
                                                 sampling=(2, 2),
                                                 restart_interval=1)
+                else:
+                    arr = synth_page_array(pid, width=width, height=height)
+                    payload = encode_jpeg_progressive(arr, quality=quality)
                 rows.append({"page_id": pid, "png": payload,
                              "width": arr.shape[1], "height": arr.shape[0]})
             yield pd.DataFrame(rows)

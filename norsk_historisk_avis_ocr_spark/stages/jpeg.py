@@ -23,12 +23,13 @@ minimal codec:
   interleaved YCbCr MCUs with selectable luma sampling (4:2:0 default)
   and the Annex K.2 chroma quant table.
 
-Progressive (SOF2) grayscale streams dispatch to
-``stages/jpeg_progressive.py`` (DC/AC spectral-selection scans,
-successive approximation, EOB-run coding). Everything else non-baseline
-(progressive color, arithmetic coding, 12-bit, hierarchical) raises
-``ValueError`` so callers can quarantine rather than mis-decode — the
-same loud-failure contract as the PNG codec.
+Progressive (SOF2) streams — grayscale AND 3-component YCbCr color —
+dispatch to ``stages/jpeg_progressive.py`` (interleaved DC scans,
+per-component AC spectral-selection scans, successive approximation,
+EOB-run coding). Everything else non-baseline (arithmetic coding,
+12-bit, hierarchical) raises ``ValueError`` so callers can quarantine
+rather than mis-decode — the same loud-failure contract as the PNG
+codec.
 
 Performance shape: dequant + IDCT run as one batched matmul over every
 block. Huffman decode has two paths: streams with many restart segments
@@ -239,11 +240,13 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
 
 
 def decode_jpeg_rgb(data: bytes) -> np.ndarray:
-    """Baseline 3-component YCbCr JPEG bytes → (H, W, 3) uint8 RGB.
-    Chroma planes are pixel-replication upsampled to full resolution
-    (integer sampling ratios only). Raises ValueError for streams that
-    are not 3-component color."""
+    """3-component YCbCr JPEG bytes (baseline or progressive) →
+    (H, W, 3) uint8 RGB. Chroma planes are pixel-replication upsampled
+    to full resolution (integer sampling ratios only). Raises ValueError
+    for streams that are not 3-component color."""
     out = _decode_jpeg(data, rgb=True)
+    if isinstance(out, np.ndarray) and out.ndim == 3:
+        return out  # progressive path returns finished RGB
     if not isinstance(out, list) or len(out) != 3:
         raise ValueError("not a 3-component color JPEG")
     return _ycc_to_rgb(*out)
@@ -313,11 +316,11 @@ def _decode_jpeg(data: bytes, rgb: bool):
                 raise ValueError("empty JPEG frame")
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xC2:  # SOF2 progressive → dedicated decoder
-            if rgb:
-                raise ValueError(
-                    "progressive color decode unsupported (grayscale only)")
-            from .jpeg_progressive import decode_progressive_gray
-            return decode_progressive_gray(data)
+            from .jpeg_progressive import (
+                decode_progressive_gray, decode_progressive_rgb,
+            )
+            return (decode_progressive_rgb if rgb
+                    else decode_progressive_gray)(data)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -942,30 +945,24 @@ def _quantized_zigzag(plane: np.ndarray, by: int, bx: int,
     return qcoef[:, _ZZ_ROWS, _ZZ_COLS]
 
 
-def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
-                      sampling: tuple[int, int] = (2, 2),
-                      restart_interval: int = 0) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline 3-component YCbCr JPEG
-    (test/bench input generator for the color decode path).
-
-    ``sampling`` is the luma (v, h) factor pair — (2, 2) is 4:2:0 (the
-    common scan shape), (1, 1) is 4:4:4; chroma is always 1×1. Chroma
-    planes are box-mean downsampled. Two quant tables are written (Annex
-    K.1 luma as table 0, K.2 chroma as table 1); all components share the
-    same Huffman tables (legal — selectors all point at table 0)."""
+def _color_zigzag_planes(rgb: np.ndarray, quality: int,
+                         sampling: tuple[int, int]):
+    """Shared forward pipeline for the baseline AND progressive color
+    encoders: RGB → YCbCr, box-mean chroma downsample, edge pad, DCT,
+    quantize, zigzag. Both encoders MUST produce identical quantized
+    coefficients (the progressive exactness oracle depends on it).
+    Returns (zz_y, [zz_cb, zz_cr], mcuy, mcux, q_luma, q_chroma)."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("encode_jpeg_color takes an (H, W, 3) RGB array")
+        raise ValueError("color encoder takes an (H, W, 3) RGB array")
     lv, lh = sampling
     if not (1 <= lv <= 2 and 1 <= lh <= 2):
         raise ValueError(f"unsupported luma sampling {lv}x{lh}")
     h, w = rgb.shape[:2]
     y, cb, cr = _rgb_to_ycc(rgb)
-
     mcuy = -(-h // (8 * lv))
     mcux = -(-w // (8 * lh))
     q_l, q_c = _quant_table(quality), _quant_table_c(quality)
-
     # luma: pad to the MCU grid and zigzag-quantize in block-raster order
     ypad = _pad_edge(y, mcuy * 8 * lv, mcux * 8 * lh)
     zz_y = _quantized_zigzag(ypad, mcuy * lv, mcux * lh, q_l)
@@ -980,6 +977,24 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
             plane = np.clip(np.round(p), 0, 255).astype(np.uint8)
         cpad = _pad_edge(plane, mcuy * 8, mcux * 8)
         zz_c.append(_quantized_zigzag(cpad, mcuy, mcux, q_c))
+    return zz_y, zz_c, mcuy, mcux, q_l, q_c
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
+                      sampling: tuple[int, int] = (2, 2),
+                      restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline 3-component YCbCr JPEG
+    (test/bench input generator for the color decode path).
+
+    ``sampling`` is the luma (v, h) factor pair — (2, 2) is 4:2:0 (the
+    common scan shape), (1, 1) is 4:4:4; chroma is always 1×1. Chroma
+    planes are box-mean downsampled. Two quant tables are written (Annex
+    K.1 luma as table 0, K.2 chroma as table 1); all components share the
+    same Huffman tables (legal — selectors all point at table 0)."""
+    zz_y, zz_c, mcuy, mcux, q_l, q_c = _color_zigzag_planes(
+        rgb, quality, sampling)
+    lv, lh = sampling
+    h, w = rgb.shape[:2]
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_bits, ac_vals = _ac_table_spec()

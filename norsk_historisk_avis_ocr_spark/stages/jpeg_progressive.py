@@ -2,30 +2,30 @@
 
 Web images and library-digitized scans are routinely progressive; the
 reference gets them free from PIL/libjpeg. The baseline module
-(``stages/jpeg.py``) quarantines SOF2 loudly; this module decodes the
-single-component (grayscale) progressive class for real:
+(``stages/jpeg.py``) dispatches SOF2 here; both grayscale and
+3-component YCbCr color are decoded for real:
 
-- DC scans, first pass (diff-coded, scaled by the successive-approximation
-  shift ``Al``) and refinement passes (one correction bit per block);
-- AC scans over a spectral band ``Ss..Se``, first pass with EOB-run
-  coding, and refinement passes with the ITU T.81 §G.1.2.3
-  correction-bit protocol (newly-significant coefficients interleaved
-  with history-coefficient refinements);
-- restart markers (DC predictors and the EOB run reset per interval).
+- DC scans — interleaved (MCU order, per-component predictors) or
+  non-interleaved — first pass (diff-coded, scaled by the
+  successive-approximation shift ``Al``) and refinement passes (one
+  correction bit per block);
+- AC scans (always single-component per T.81 B.2.3) over a spectral
+  band ``Ss..Se``, traversing that component's OWN unpadded block grid
+  (mapped into the MCU-padded coefficient store): first pass with
+  EOB-run coding, refinement passes with the §G.1.2.3 correction-bit
+  protocol (newly-significant coefficients interleaved with
+  history-coefficient refinements);
+- restart markers (DC predictors and the EOB run reset per interval);
+- chroma upsample + PIL-exact luma exactly as the baseline color path.
 
-Progressive COLOR stays a loud ``ValueError`` (non-interleaved scans
-traverse each component's own unpadded block grid — a different geometry
-than the baseline decoder's MCU grid; grayscale is the newspaper-scan
-shape and the two grids coincide for one component). Everything else
-non-baseline (arithmetic, 12-bit, hierarchical) is rejected by the
-caller's marker walk as before.
+Everything else non-baseline (arithmetic, 12-bit, hierarchical, 2/4
+components) is rejected loudly.
 
-Exactness: the companion :func:`encode_jpeg_progressive` emits a
-standard multi-scan script (DC first + refine, two AC bands, two AC
-refinement passes) from the SAME quantized coefficients the baseline
-encoder produces — so tests assert progressive decode ≡ baseline decode
-of the identically-quantized image, byte-for-byte, and every scan kind
-is exercised.
+Exactness: the companion encoders (:func:`encode_jpeg_progressive`,
+:func:`encode_jpeg_progressive_color`) emit multi-scan scripts from the
+SAME quantized coefficients the baseline encoders produce (shared
+forward pipeline) — so tests assert progressive decode ≡ baseline
+decode byte-for-byte, and every scan kind is exercised.
 """
 
 from __future__ import annotations
@@ -104,9 +104,32 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_progressive_gray(data: bytes) -> np.ndarray:
-    """Progressive grayscale JPEG bytes → (H, W) uint8 plane. Raises
-    ``ValueError`` for anything outside the supported class (progressive
-    color, missing scans, truncated/corrupt entropy data)."""
+    """Progressive JPEG bytes → (H, W) uint8 grayscale. Single-component
+    streams decode the plane directly; 3-component YCbCr streams convert
+    through RGB with the PIL-exact luma (same contract as the baseline
+    entry point). Raises ``ValueError`` for anything outside the
+    supported class (missing scans, truncated/corrupt entropy data)."""
+    planes = _decode_progressive(data)
+    if len(planes) == 1:
+        return planes[0]
+    from .jpeg import _ycc_to_rgb
+    from .png import to_grayscale
+    return to_grayscale(_ycc_to_rgb(*planes))
+
+
+def decode_progressive_rgb(data: bytes) -> np.ndarray:
+    """Progressive 3-component YCbCr JPEG bytes → (H, W, 3) uint8 RGB."""
+    planes = _decode_progressive(data)
+    if len(planes) != 3:
+        raise ValueError("not a 3-component color JPEG")
+    from .jpeg import _ycc_to_rgb
+    return _ycc_to_rgb(*planes)
+
+
+def _decode_progressive(data: bytes) -> list[np.ndarray]:
+    """Marker walk + scan accumulation → per-component planes at frame
+    resolution (chroma pixel-replication upsampled, as in the baseline
+    color path)."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -114,7 +137,7 @@ def decode_progressive_gray(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _PeekTable] = {}
     frame = None
     restart_interval = 0
-    coef = None  # (n_blocks, 64) zigzag-order accumulated coefficients
+    coefs: list[np.ndarray] | None = None
     saw_scan = False
     n = len(data)
     while pos + 4 <= n:
@@ -157,17 +180,32 @@ def decode_progressive_gray(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "progressive color JPEG unsupported (grayscale only)")
-            cid, hv, tq = body[6:9]
-            if hv != 0x11:
-                raise ValueError("subsampled single-component JPEG")
+                    f"unsupported progressive component count {ncomp}")
             if w == 0 or h == 0:
                 raise ValueError("empty JPEG frame")
-            frame = {"w": w, "h": h, "id": cid, "tq": tq}
-            bx, by = -(-w // 8), -(-h // 8)
-            coef = np.zeros((by * bx, 64), dtype=np.int32)
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                raise ValueError("first component is not max-sampled")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = {"w": w, "h": h, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+            # per-comp coefficient store on the MCU-PADDED block grid,
+            # zigzag order (interleaved DC scans address this grid;
+            # non-interleaved scans address the comp's own grid, mapped
+            # into it — T.81 A.2.2 vs A.2.3)
+            coefs = [np.zeros((mcuy * c["v"] * mcux * c["h"], 64),
+                              dtype=np.int32) for c in comps]
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("mixed/unsupported SOF in progressive stream")
@@ -178,84 +216,154 @@ def decode_progressive_gray(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             pos = _decode_scan_progressive(
                 data, pos + 2 + seglen, body, frame, htables,
-                restart_interval, coef)
+                restart_interval, coefs)
             saw_scan = True
             continue  # pos already advanced past the scan's entropy data
         pos += 2 + seglen
 
-    if frame is None or coef is None:
+    if frame is None or coefs is None:
         raise ValueError("no SOF2 frame")
     if not saw_scan:
         # headers alone would "decode" to a uniform gray plane — silent
         # garbage; same contract as the baseline "no SOS marker" raise
         raise ValueError("no SOS marker (no image data)")
-    q = qtables.get(frame["tq"])
-    if q is None:
-        raise ValueError("missing quantization table")
-    natural = np.zeros_like(coef)
-    natural[:, _ZZ_ROWS.astype(np.int64) * 8 + _ZZ_COLS] = coef
-    pix = _idct_blocks(natural.astype(np.int64).reshape(-1, 8, 8) * q)
+
     w, h = frame["w"], frame["h"]
-    bx = -(-w // 8)
-    img = pix.reshape(-1, bx, 8, 8).transpose(0, 2, 1, 3) \
-        .reshape(-1, bx * 8)
-    return np.ascontiguousarray(img[:h, :w])
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        coef = coefs[ci]
+        natural = np.zeros_like(coef)
+        natural[:, _ZZ_ROWS.astype(np.int64) * 8 + _ZZ_COLS] = coef
+        pix = _idct_blocks(natural.astype(np.int64).reshape(-1, 8, 8) * q)
+        cv, ch = comp["v"], comp["h"]
+        pwb = mcux * ch
+        plane = pix.reshape(-1, pwb, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(mcuy * cv * 8, pwb * 8)
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        plane = plane[:comp_h, :comp_w]
+        ry, rx = vmax // cv, hmax // ch
+        if ry * cv != vmax or rx * ch != hmax:
+            raise ValueError("non-integer chroma sampling ratio")
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(np.ascontiguousarray(plane[:h, :w]))
+    return planes
 
 
 def _decode_scan_progressive(data, scan_start, sos, frame, htables,
-                             restart_interval, coef) -> int:
+                             restart_interval, coefs) -> int:
+    comps = frame["comps"]
     ns = sos[0]
-    if ns != 1:
-        raise ValueError("progressive color scan unsupported")
-    _cs, tables = sos[1], sos[2]
-    ss, se, aa = sos[3], sos[4], sos[5]
+    if not 1 <= ns <= len(comps):
+        raise ValueError("bad progressive scan component count")
+    scan_comps = []
+    for i in range(ns):
+        cs, tables = sos[1 + 2 * i], sos[2 + 2 * i]
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cs), None)
+        if ci is None:
+            raise ValueError("SOS selector missing frame component")
+        scan_comps.append((ci, tables >> 4, tables & 15))
+    off = 1 + 2 * ns
+    ss, se, aa = sos[off], sos[off + 1], sos[off + 2]
     ah, al = aa >> 4, aa & 15
     if not (0 <= ss <= se <= 63):
         raise ValueError("bad spectral selection")
-    n_blocks = coef.shape[0]
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("interleaved AC scan is illegal (T.81 B.2.3)")
 
-    if ss == 0:
-        if se != 0:
-            raise ValueError("DC scan with Se != 0")
-        table = htables.get((0, tables >> 4))
-        if table is None and ah == 0:
-            raise ValueError("missing Huffman table")
-    else:
-        table = htables.get((1, tables & 15))
-        if table is None:
-            raise ValueError("missing Huffman table")
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+
+    def comp_order(ci: int) -> list[int]:
+        """Non-interleaved traversal: the component's OWN block grid
+        (ceil of its scaled dims — NOT padded to sampling multiples),
+        mapped into the padded store (T.81 A.2.2)."""
+        comp = comps[ci]
+        comp_w = -(-frame["w"] * comp["h"] // hmax)
+        comp_h = -(-frame["h"] * comp["v"] // vmax)
+        cbx, cby = -(-comp_w // 8), -(-comp_h // 8)
+        pwb = mcux * comp["h"]
+        return [r * pwb + c for r in range(cby) for c in range(cbx)]
 
     segments, end = _destuff(data, scan_start)
-    block = 0
+
+    if ss == 0 and ns > 1:
+        # interleaved DC scan: MCU units, per-comp v*h blocks each
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci, dsel, _ in scan_comps:
+                    comp = comps[ci]
+                    cv, ch = comp["v"], comp["h"]
+                    pwb = mcux * ch
+                    for iy in range(cv):
+                        for ix in range(ch):
+                            unit.append(
+                                (ci, (my * cv + iy) * pwb + mx * ch + ix))
+                units.append(unit)
+    else:
+        ci0 = scan_comps[0][0]
+        units = [[(ci0, row)] for row in comp_order(ci0)]
+    n_units = len(units)
+
+    dc_tables = {}
+    ac_table = None
+    if ss == 0:
+        for ci, dsel, _ in scan_comps:
+            if ah == 0:
+                t = htables.get((0, dsel))
+                if t is None:
+                    raise ValueError("missing Huffman table")
+                dc_tables[ci] = t.entry
+    else:
+        t = htables.get((1, scan_comps[0][2]))
+        if t is None:
+            raise ValueError("missing Huffman table")
+        ac_table = t.entry
+
+    unit = 0
     for seg in segments:
-        limit = (min(block + restart_interval, n_blocks)
-                 if restart_interval else n_blocks)
+        limit = (min(unit + restart_interval, n_units)
+                 if restart_interval else n_units)
         br = _BitReader(seg)
         if ss == 0:
             if ah == 0:
-                pred = 0
-                while block < limit:
-                    sym, _ = br.huff(table.entry)
-                    if sym > 11:
-                        raise ValueError("bad DC size")
-                    pred += _extend(br.bits(sym), sym) if sym else 0
-                    coef[block, 0] = pred << al
-                    block += 1
+                preds = {ci: 0 for ci, _, _ in scan_comps}
+                while unit < limit:
+                    for ci, row in units[unit]:
+                        sym, _ = br.huff(dc_tables[ci])
+                        if sym > 11:
+                            raise ValueError("bad DC size")
+                        preds[ci] += _extend(br.bits(sym), sym) if sym else 0
+                        coefs[ci][row, 0] = preds[ci] << al
+                    unit += 1
             else:
-                while block < limit:  # DC refinement: one bit per block
-                    if br.bits(1):
-                        coef[block, 0] |= 1 << al
-                    block += 1
+                while unit < limit:  # DC refinement: one bit per block
+                    for ci, row in units[unit]:
+                        if br.bits(1):
+                            coefs[ci][row, 0] |= 1 << al
+                    unit += 1
         elif ah == 0:
             eobrun = 0
-            while block < limit:
+            coef = coefs[scan_comps[0][0]]
+            while unit < limit:
                 if eobrun > 0:
                     eobrun -= 1
-                    block += 1
+                    unit += 1
                     continue
+                row = units[unit][0][1]
                 k = ss
                 while k <= se:
-                    sym, _ = br.huff(table.entry)
+                    sym, _ = br.huff(ac_table)
                     r, s = sym >> 4, sym & 15
                     if s == 0:
                         if r < 15:
@@ -266,18 +374,19 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                         k += r
                         if k > se:
                             raise ValueError("AC run overflows band")
-                        coef[block, k] = _extend(br.bits(s), s) << al
+                        coef[row, k] = _extend(br.bits(s), s) << al
                         k += 1
-                block += 1
+                unit += 1
         else:
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
-            while block < limit:
-                row = coef[block]
+            coef = coefs[scan_comps[0][0]]
+            while unit < limit:
+                row = coef[units[unit][0][1]]
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        sym, _ = br.huff(table.entry)
+                        sym, _ = br.huff(ac_table)
                         r, s = sym >> 4, sym & 15
                         if s == 0:
                             if r < 15:
@@ -312,12 +421,12 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                                 row[k] += p1 if row[k] >= 0 else m1
                         k += 1
                     eobrun -= 1
-                block += 1
+                unit += 1
         if br.overrun():
             raise ValueError("JPEG entropy data truncated (progressive)")
-        if block >= n_blocks:
+        if unit >= n_units:
             break
-    if block < n_blocks:
+    if unit < n_units:
         raise ValueError("progressive scan ended early")
     return end
 
@@ -522,3 +631,107 @@ def _encode_ac_refine(bw, zz, ss, se, ah, al, ac_codes):
                            if hist[i] != 0)
             eobrun += 1
     flush_eob()
+
+
+def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 95,
+                                  sampling: tuple[int, int] = (2, 2),
+                                  script=_DEFAULT_SCRIPT) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) 3-component YCbCr JPEG
+    whose quantized coefficients are IDENTICAL to
+    :func:`~.jpeg.encode_jpeg_color` at the same quality/sampling (shared
+    forward pipeline) — so progressive color decode must reproduce the
+    baseline color decode byte-for-byte.
+
+    Script expansion per T.81: each DC entry becomes ONE interleaved scan
+    (MCU order, all three components); each AC entry becomes THREE
+    non-interleaved scans (one per component, traversing that component's
+    own unpadded block grid)."""
+    from .jpeg import _color_zigzag_planes
+
+    zz_y, zz_c, mcuy, mcux, q_l, q_c = _color_zigzag_planes(
+        rgb, quality, sampling)
+    lv, lh = sampling
+    h, w = rgb.shape[:2]
+    zz_all = [zz_y] + zz_c
+    samp = [(lv, lh), (1, 1), (1, 1)]
+
+    def comp_order(ci: int) -> list[int]:
+        cv, ch = samp[ci]
+        comp_w = -(-w * ch // lh)
+        comp_h = -(-h * cv // lv)
+        cbx, cby = -(-comp_w // 8), -(-comp_h // 8)
+        pwb = mcux * ch
+        return [r * pwb + c for r in range(cby) for c in range(cbx)]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_bits, ac_vals = _ac_table_spec_prog()
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    scans = []  # (sos_body, entropy)
+    for ss, se, ahh, all_ in script:
+        if ss == 0:
+            # interleaved DC scan over MCUs
+            bw = _BitWriter()
+            if ahh == 0:
+                preds = [0, 0, 0]
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in range(3):
+                            cv, ch = samp[ci]
+                            pwb = mcux * ch
+                            for iy in range(cv):
+                                for ix in range(ch):
+                                    row = (my * cv + iy) * pwb + mx * ch + ix
+                                    v = int(zz_all[ci][row, 0]) >> all_
+                                    diff = v - preds[ci]
+                                    preds[ci] = v
+                                    size = abs(diff).bit_length()
+                                    code, ln = dc_codes[size]
+                                    bw.write(code, ln)
+                                    if size:
+                                        vv = diff if diff > 0 \
+                                            else diff + (1 << size) - 1
+                                        bw.write(vv, size)
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in range(3):
+                            cv, ch = samp[ci]
+                            pwb = mcux * ch
+                            for iy in range(cv):
+                                for ix in range(ch):
+                                    row = (my * cv + iy) * pwb + mx * ch + ix
+                                    bw.write(
+                                        (int(zz_all[ci][row, 0]) >> all_)
+                                        & 1, 1)
+            sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                         ss, se, (ahh << 4) | all_])
+            scans.append((sos, bw.flush()))
+        else:
+            # one non-interleaved scan per component, comp-grid order
+            for ci in range(3):
+                bw = _BitWriter()
+                ordered = zz_all[ci][np.array(comp_order(ci))]
+                if ahh == 0:
+                    _encode_ac_first(bw, ordered, ss, se, all_, ac_codes)
+                else:
+                    _encode_ac_refine(bw, ordered, ss, se, ahh, all_,
+                                      ac_codes)
+                sos = bytes([1, ci + 1, 0x00, ss, se, (ahh << 4) | all_])
+                scans.append((sos, bw.flush()))
+
+    def zz_of(q):
+        out = np.zeros(64, dtype=np.int64)
+        out[:] = q[_ZZ_ROWS, _ZZ_COLS]
+        return bytes(int(x) for x in out)
+
+    dqt = bytes([0x00]) + zz_of(q_l) + bytes([0x01]) + zz_of(q_c)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof)
+           + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac))
+    for sos, entropy in scans:
+        out += _seg(0xDA, sos) + entropy
+    return out + b"\xff\xd9"

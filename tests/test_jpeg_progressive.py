@@ -69,7 +69,42 @@ def test_progressive_through_raster_dispatch():
     assert got.shape == (48, 64)
 
 
-def test_progressive_color_raises():
+def _rgb_gradient(h, w):
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    return np.stack([(y * 3 + x * 5) % 256, (y * 2 + x * 7) % 256,
+                     (y * 5 + x * 2) % 256], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 2), (2, 1), (1, 2)])
+def test_progressive_color_equals_baseline_color(sampling):
+    """Progressive 3-component decode must equal the baseline color
+    decode byte-for-byte: shared forward pipeline, interleaved DC scans,
+    per-component AC scans over each component's own (unpadded) block
+    grid — odd dims exercise the padded-vs-component grid mapping."""
+    from norsk_historisk_avis_ocr_spark.stages.jpeg import (
+        decode_jpeg_rgb, encode_jpeg_color,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.jpeg_progressive import (
+        decode_progressive_rgb, encode_jpeg_progressive_color,
+    )
+    for shape in [(64, 96), (33, 41)]:
+        rgb = _rgb_gradient(*shape)
+        want = decode_jpeg_rgb(encode_jpeg_color(rgb, quality=85,
+                                                 sampling=sampling))
+        data = encode_jpeg_progressive_color(rgb, quality=85,
+                                             sampling=sampling)
+        assert np.array_equal(decode_progressive_rgb(data), want)
+        # entry-point dispatch: decode_jpeg_rgb handles SOF2 color too
+        assert np.array_equal(decode_jpeg_rgb(data), want)
+        # gray entry = PIL-exact luma of the same RGB
+        from norsk_historisk_avis_ocr_spark.stages.png import to_grayscale
+        assert np.array_equal(decode_jpeg_gray(data), to_grayscale(want))
+
+
+def test_relabeled_baseline_color_stream_is_loud():
+    """A baseline color stream relabeled SOF2 is malformed progressive
+    (its SOS is interleaved full-band) — must raise, not mis-decode."""
     from norsk_historisk_avis_ocr_spark.stages.jpeg import (
         decode_jpeg_rgb, encode_jpeg_color,
     )
@@ -77,9 +112,9 @@ def test_progressive_color_raises():
     data = bytearray(encode_jpeg_color(rgb, quality=90))
     sof = bytes(data).index(b"\xff\xc0")
     data[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive color|color scan"):
+    with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(data))
-    with pytest.raises(ValueError, match="progressive color"):
+    with pytest.raises(ValueError):
         decode_jpeg_rgb(bytes(data))
 
 
