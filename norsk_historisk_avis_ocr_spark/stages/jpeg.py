@@ -1,4 +1,4 @@
-"""Pure-stdlib+numpy baseline JPEG codec (grayscale decode path).
+"""Pure-stdlib+numpy JPEG codec (baseline + progressive dispatch).
 
 The reference's input class is scanned newspaper pages; its engines decode
 them with PIL and re-encode to JPEG for the vision API

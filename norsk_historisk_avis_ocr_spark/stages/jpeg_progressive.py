@@ -103,6 +103,29 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
+def _comp_block_order(w: int, h: int, cv: int, ch: int, vmax: int,
+                      hmax: int, mcux: int) -> list[int]:
+    """Non-interleaved traversal order: the component's OWN block grid
+    (ceil of its scaled dims — NOT padded to sampling multiples), mapped
+    into the MCU-padded coefficient store (T.81 A.2.2). Shared by the
+    decoder and the color encoder so the two cannot disagree."""
+    comp_w = -(-w * ch // hmax)
+    comp_h = -(-h * cv // vmax)
+    cbx, cby = -(-comp_w // 8), -(-comp_h // 8)
+    pwb = mcux * ch
+    return [r * pwb + c for r in range(cby) for c in range(cbx)]
+
+
+def _write_dc_diff(bw: "_BitWriter", diff: int, dc_codes: dict) -> None:
+    """Entropy-code one DC difference (shared by both progressive
+    encoders' DC-first scans)."""
+    size = abs(diff).bit_length()
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
 def decode_progressive_gray(data: bytes) -> np.ndarray:
     """Progressive JPEG bytes → (H, W) uint8 grayscale. Single-component
     streams decode the plane directly; 3-component YCbCr streams convert
@@ -283,15 +306,9 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
     hmax, vmax = frame["hmax"], frame["vmax"]
 
     def comp_order(ci: int) -> list[int]:
-        """Non-interleaved traversal: the component's OWN block grid
-        (ceil of its scaled dims — NOT padded to sampling multiples),
-        mapped into the padded store (T.81 A.2.2)."""
         comp = comps[ci]
-        comp_w = -(-frame["w"] * comp["h"] // hmax)
-        comp_h = -(-frame["h"] * comp["v"] // vmax)
-        cbx, cby = -(-comp_w // 8), -(-comp_h // 8)
-        pwb = mcux * comp["h"]
-        return [r * pwb + c for r in range(cby) for c in range(cbx)]
+        return _comp_block_order(frame["w"], frame["h"], comp["v"],
+                                 comp["h"], vmax, hmax, mcux)
 
     segments, end = _destuff(data, scan_start)
 
@@ -355,12 +372,13 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
         elif ah == 0:
             eobrun = 0
             coef = coefs[scan_comps[0][0]]
+            rows = [u[0][1] for u in units]  # AC scans are single-block
             while unit < limit:
                 if eobrun > 0:
                     eobrun -= 1
                     unit += 1
                     continue
-                row = units[unit][0][1]
+                row = rows[unit]
                 k = ss
                 while k <= se:
                     sym, _ = br.huff(ac_table)
@@ -381,8 +399,9 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
             coef = coefs[scan_comps[0][0]]
+            rows = [u[0][1] for u in units]  # AC scans are single-block
             while unit < limit:
-                row = coef[units[unit][0][1]]
+                row = coef[rows[unit]]
                 k = ss
                 if eobrun == 0:
                     while k <= se:
@@ -473,14 +492,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
             pred = 0
             for b in range(zz.shape[0]):
                 v = int(zz[b, 0]) >> all_
-                diff = v - pred
+                _write_dc_diff(bw, v - pred, dc_codes)
                 pred = v
-                size = abs(diff).bit_length()
-                code, ln = dc_codes[size]
-                bw.write(code, ln)
-                if size:
-                    vv = diff if diff > 0 else diff + (1 << size) - 1
-                    bw.write(vv, size)
         elif ss == 0:
             for b in range(zz.shape[0]):
                 bw.write((int(zz[b, 0]) >> all_) & 1, 1)
@@ -657,11 +670,7 @@ def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 95,
 
     def comp_order(ci: int) -> list[int]:
         cv, ch = samp[ci]
-        comp_w = -(-w * ch // lh)
-        comp_h = -(-h * cv // lv)
-        cbx, cby = -(-comp_w // 8), -(-comp_h // 8)
-        pwb = mcux * ch
-        return [r * pwb + c for r in range(cby) for c in range(cbx)]
+        return _comp_block_order(w, h, cv, ch, lv, lh, mcux)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_bits, ac_vals = _ac_table_spec_prog()
@@ -683,15 +692,9 @@ def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 95,
                                 for ix in range(ch):
                                     row = (my * cv + iy) * pwb + mx * ch + ix
                                     v = int(zz_all[ci][row, 0]) >> all_
-                                    diff = v - preds[ci]
+                                    _write_dc_diff(bw, v - preds[ci],
+                                                   dc_codes)
                                     preds[ci] = v
-                                    size = abs(diff).bit_length()
-                                    code, ln = dc_codes[size]
-                                    bw.write(code, ln)
-                                    if size:
-                                        vv = diff if diff > 0 \
-                                            else diff + (1 << size) - 1
-                                        bw.write(vv, size)
             else:
                 for my in range(mcuy):
                     for mx in range(mcux):
