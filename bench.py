@@ -148,15 +148,18 @@ def main():
         results["raster_segment"] = round(min(seg_times), 3)
         raster_pages_per_sec = round(n_pages / min(seg_times), 1)
 
-        # JPEG leg (new in round 3): baseline JPEG decode → geometry. Pages
-        # are 700×520 (the Huffman bitstream walk is Python-side; the leg
-        # characterizes the decoder, not the page size).
+        # JPEG leg (round 3; color + restart lanes round 4): baseline
+        # gray/color decode → geometry on 700×520 pages. arms excludes the
+        # progressive compatibility path (per-symbol Python, ~20× slower
+        # per page) so the leg characterizes the production lockstep
+        # decoder; progressive stays covered by the raster_verified_jpeg
+        # contract row and pytest exactness.
         from norsk_historisk_avis_ocr_spark.sources.rasters import (
             jpeg_pages_df,
         )
         jpeg_path = os.path.join(tmp, "jpegs")
-        jpeg_pages_df(spark, sf_dir, limit=256,
-                      partitions=cpus).write.parquet(jpeg_path)
+        jpeg_pages_df(spark, sf_dir, limit=256, partitions=cpus,
+                      arms=("gray", "color")).write.parquet(jpeg_path)
         jpegs = spark.read.parquet(jpeg_path)
         n_jpegs = jpegs.count()
         jseg = segment_png_pages(jpegs)

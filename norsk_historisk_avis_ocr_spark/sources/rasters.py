@@ -213,18 +213,24 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
                   limit: int | None = None,
                   partitions: int | None = None,
                   width: int = 700, height: int = 520,
-                  quality: int = 97) -> DataFrame:
+                  quality: int = 97,
+                  arms: tuple[str, ...] = ("gray", "color",
+                                           "progressive")) -> DataFrame:
     """JPEG-encoded deterministic page per document id — the reference's
     other native payload encoding (``tesseract_engine.py:143-144``). Same
     shape/contract as :func:`raster_pages_df` but the ``png`` column holds
     baseline JPEG bytes (the column name is the payload slot, sniffing
-    dispatches the codec). Alternates deterministically by doc_id % 3:
-    grayscale baseline (0), 3-component YCbCr 4:2:0 color scans of the
-    sepia page (1), and progressive (SOF2) grayscale (2) — one leg
-    exercises every JPEG decode path each round. Default dims are
-    smaller than the PNG pages: JPEG entropy decode is the engine's
-    slowest per-byte path, and the contract leg only needs enough page
-    to exercise every geometry path."""
+    dispatches the codec). Alternates deterministically over ``arms`` by
+    doc_id: grayscale baseline, 3-component YCbCr 4:2:0 color scans of
+    the sepia page, and progressive (SOF2) grayscale — the default
+    covers every JPEG decode path (the contract leg's job). The bench
+    leg passes ``arms=("gray", "color")``: progressive decode is a
+    per-symbol Python compatibility path (no restart lanes), ~20×
+    slower per page, and would dominate a leg meant to characterize the
+    production (lockstep-vector) decoder. Default dims are smaller than
+    the PNG pages: JPEG entropy decode is the engine's slowest per-byte
+    path, and the contract leg only needs enough page to exercise every
+    geometry path."""
     from ..stages.jpeg import encode_jpeg_color, encode_jpeg_gray
     from ..stages.jpeg_progressive import encode_jpeg_progressive
 
@@ -243,12 +249,12 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
                 # restart intervals (standard scanner-output practice for
                 # error resilience) also enable the decoder's lockstep
                 # vector path: one lane per restart segment
-                arm = int(doc_id) % 3
-                if arm == 0:
+                arm = arms[int(doc_id) % len(arms)]
+                if arm == "gray":
                     arr = synth_page_array(pid, width=width, height=height)
                     payload = encode_jpeg_gray(arr, quality=quality,
                                                restart_interval=2)
-                elif arm == 1:
+                elif arm == "color":
                     arr = synth_color_page_array(pid, width=width,
                                                  height=height)
                     payload = encode_jpeg_color(arr, quality=quality,
