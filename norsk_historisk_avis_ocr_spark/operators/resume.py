@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 
 
 def resume_filter(pages: DataFrame, done_urls: DataFrame,
-                  broadcast_done: bool = False) -> DataFrame:
-    """Rows of ``pages`` not yet committed: ``pages ⟕̸ done ON url``."""
-    done = done_urls.select("url").distinct()
+                  broadcast_done: bool = False,
+                  key_col: str = "url") -> DataFrame:
+    """Rows of ``pages`` not yet committed: ``pages ⟕̸ done ON key``."""
+    done = done_urls.select(key_col).distinct()
     if broadcast_done:
         done = F.broadcast(done)
-    return pages.join(done, "url", "left_anti")
+    return pages.join(done, key_col, "left_anti")
 
 
 class _LineageAccParam(AccumulatorParam):
@@ -135,11 +136,19 @@ def run_with_resume_bucketed(spark: SparkSession, pages_table: str,
 
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
                     lineage_path: str | None = None,
-                    extract_kwargs: dict | None = None) -> int:
-    """One resumable batch: anti-join done urls, extract, commit, lineage.
+                    extract_kwargs: dict | None = None,
+                    transform=None, key_col: str = "url") -> int:
+    """One resumable batch: anti-join done keys, process, commit, lineage.
+
+    ``transform`` is the batch pipeline (DataFrame → DataFrame); the
+    default is the html extraction path (quarantine split +
+    ``extract_pages``). Pass e.g. ``segment_image_pages`` with
+    ``key_col="page_id"`` for a resumable raster-geometry backfill — the
+    resume/commit/lineage machinery is payload-agnostic as long as the
+    output carries ``key_col``.
 
     Returns the number of newly committed rows. Idempotent: re-running after
-    a kill processes only un-committed urls (parquet job commits are atomic;
+    a kill processes only un-committed keys (parquet job commits are atomic;
     with Iceberg this is a snapshot append).
 
     Commit-stats lineage: the per-partition counts/bytes/blocks ride a dict
@@ -151,12 +160,15 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_path: str,
     records lineage for an uncommitted batch.
     """
     from ..sources.sinks import read_done_urls, write_lineage, write_results
-    from .extract import extract_pages, split_quarantine
 
-    done = read_done_urls(spark, out_path)
-    todo = resume_filter(pages, done)
-    good, bad = split_quarantine(todo)
-    results = extract_pages(good, **(extract_kwargs or {}))
+    done = read_done_urls(spark, out_path, key_col=key_col)
+    todo = resume_filter(pages, done, key_col=key_col)
+    if transform is None:
+        from .extract import extract_pages, split_quarantine
+        good, bad = split_quarantine(todo)
+        results = extract_pages(good, **(extract_kwargs or {}))
+    else:
+        results = transform(todo)
     acc = spark.sparkContext.accumulator({}, _LineageAccParam())
     write_results(with_lineage_stats(results, acc), out_path)
     stats = acc.value

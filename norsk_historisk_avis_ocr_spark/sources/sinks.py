@@ -35,12 +35,13 @@ def write_results(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(path)
 
 
-def read_done_urls(spark: SparkSession, path: str) -> DataFrame:
-    """Urls already committed to the results sink (empty if first run)."""
+def read_done_urls(spark: SparkSession, path: str,
+                   key_col: str = "url") -> DataFrame:
+    """Keys already committed to the results sink (empty if first run)."""
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)):
-        return spark.read.parquet(path).select("url")
-    return spark.createDataFrame([], "url string")
+        return spark.read.parquet(path).select(key_col)
+    return spark.createDataFrame([], f"{key_col} string")
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str = "url",

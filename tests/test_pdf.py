@@ -254,3 +254,30 @@ def test_malformed_object_graphs_are_valueerror():
     )
     for broken in cases:
         assert decode_media(broken)["width"] is not None
+
+
+def test_segment_scans_job_resumes(spark, tmp_path):
+    """The generic-resume raster backfill: first run commits all pages,
+    a re-run commits zero (done-marker semantics on page_id), lineage
+    rows ride the commit — the reference's resume behavior applied to
+    its raster input class."""
+    import jobs.segment_scans as job
+    out = str(tmp_path / "geo")
+    lin = str(tmp_path / "lin")
+    n1 = job.main(["--synthesize", "/root/testdata/sf0.001",
+                   "--format", "png", "--limit", "12",
+                   "--partitions", "4", "--output", out,
+                   "--lineage", lin])
+    assert n1 == 12
+    n2 = job.main(["--synthesize", "/root/testdata/sf0.001",
+                   "--format", "png", "--limit", "12",
+                   "--partitions", "4", "--output", out,
+                   "--lineage", lin])
+    assert n2 == 0
+    geo = spark.read.parquet(out)
+    assert geo.count() == 12
+    assert geo.filter("decode_error is not null").count() == 0
+    assert {r.page_id for r in geo.select("page_id").collect()} == \
+        {f"page-{i}" for i in range(12)}
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg({"n_urls": "sum"}).first()[0] == 12
