@@ -172,6 +172,27 @@ def main():
         results["jpeg_segment"] = round(min(jseg_times), 3)
         jpeg_pages_per_sec = round(n_jpegs / min(jseg_times), 1)
 
+        # PDF leg (round 4): the reference's PRIMARY input format —
+        # xref/object-graph parse → image XObject → DCT (restart lanes →
+        # lockstep decoder) or Flate+PNG-predictor decode → geometry.
+        from norsk_historisk_avis_ocr_spark.sources.rasters import (
+            pdf_pages_df,
+        )
+        pdf_path = os.path.join(tmp, "pdfs")
+        pdf_pages_df(spark, sf_dir, limit=256,
+                     partitions=cpus).write.parquet(pdf_path)
+        pdfs = spark.read.parquet(pdf_path)
+        n_pdfs = pdfs.count()
+        pseg = segment_png_pages(pdfs)
+        _noop(pseg)  # warm
+        pseg_times = []
+        for _ in range(2):
+            t0 = time.time()
+            _noop(pseg)
+            pseg_times.append(time.time() - t0)
+        results["pdf_segment"] = round(min(pseg_times), 3)
+        pdf_pages_per_sec = round(n_pdfs / min(pseg_times), 1)
+
         analytics = {
             "w1_islands": lambda: w.runlength_islands(t("events")),
             "w4_reading_order": lambda: w.reading_order_concat(t("lineitem")),
@@ -213,6 +234,7 @@ def main():
             "extract_docs_per_sec": round(n_docs / extract_sec, 1),
             "raster_pages_per_sec": raster_pages_per_sec,
             "jpeg_pages_per_sec": jpeg_pages_per_sec,
+            "pdf_pages_per_sec": pdf_pages_per_sec,
             "extract_warmup_sec": round(warmup_sec, 3),
             "calib_sec": min(_calibrate(), _calibrate()),
             "cpus": cpus,

@@ -200,9 +200,11 @@ def pdf_pages_df(spark: SparkSession, sf_dir: str,
                 pid = f"page-{int(doc_id)}"
                 arr = synth_page_array(pid, width=width, height=height)
                 codec = "jpeg" if int(doc_id) % 2 == 0 else "flate"
+                # restart lanes let the DCT arm ride the lockstep decoder
                 rows.append({"page_id": pid,
                              "png": encode_pdf_gray(arr, codec=codec,
-                                                    quality=quality),
+                                                    quality=quality,
+                                                    restart_interval=2),
                              "width": arr.shape[1], "height": arr.shape[0]})
             yield pd.DataFrame(rows)
 

@@ -427,7 +427,8 @@ def decode_pdf_page_images(data: bytes):
 
 def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
                      quality: int = 97, predictor: bool = True,
-                     thumb: np.ndarray | None = None) -> bytes:
+                     thumb: np.ndarray | None = None,
+                     restart_interval: int = 0) -> bytes:
     """(H, W) uint8 pages → a minimal multi-page PDF, one page-filling
     image XObject per page — the shape a scanned newspaper issue has.
     ``codec``: ``"jpeg"`` (DCTDecode via the in-tree encoder) or
@@ -446,7 +447,8 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
         ih, iw = arr.shape
         if codec == "jpeg":
             from .jpeg import encode_jpeg_gray
-            payload = encode_jpeg_gray(arr, quality=quality)
+            payload = encode_jpeg_gray(arr, quality=quality,
+                                       restart_interval=restart_interval)
             extra = b"/Filter /DCTDecode"
         elif codec == "flate":
             if predictor:
@@ -515,7 +517,9 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
 
 def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
                     quality: int = 97, predictor: bool = True,
-                    thumb: np.ndarray | None = None) -> bytes:
+                    thumb: np.ndarray | None = None,
+                    restart_interval: int = 0) -> bytes:
     """One-page convenience wrapper over :func:`encode_pdf_pages`."""
     return encode_pdf_pages([img], codec=codec, quality=quality,
-                            predictor=predictor, thumb=thumb)
+                            predictor=predictor, thumb=thumb,
+                            restart_interval=restart_interval)
