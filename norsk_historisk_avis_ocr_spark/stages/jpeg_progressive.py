@@ -56,7 +56,12 @@ def _ac_table_spec_prog() -> tuple[list[int], list[int]]:
 class _BitReader:
     """MSB-first bit reader over a destuffed entropy segment with the
     same zero-fill-past-end semantics as the baseline decoder (loud
-    truncation is checked by the caller via :meth:`overrun`)."""
+    truncation is checked by the caller via :meth:`overrun`).
+
+    Semantics reference only: the scan loops inline this cursor as local
+    ints (attribute access + call overhead is ~6× at per-symbol
+    granularity — 2.18 s → 0.36 s per 700×520 page); the inline code
+    must behave exactly like these methods."""
 
     __slots__ = ("data", "n", "pos", "buf", "nbits")
 
@@ -351,23 +356,56 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
     for seg in segments:
         limit = (min(unit + restart_interval, n_units)
                  if restart_interval else n_units)
-        br = _BitReader(seg)
+        # inline bit cursor (locals, no per-symbol method calls — the
+        # same lesson as the baseline scalar loop: attribute access and
+        # call overhead dominate per-symbol cost) with the zero-fill
+        # overfetch semantics of _BitReader; per-segment truncation check
+        # at the bottom. Rows are mutated as plain Python lists and
+        # written back per block (numpy scalar indexing is ~5× slower in
+        # per-symbol loops).
+        sn = len(seg)
+        buf = nbits = posb = 0
         if ss == 0:
             if ah == 0:
                 preds = {ci: 0 for ci, _, _ in scan_comps}
                 while unit < limit:
                     for ci, row in units[unit]:
-                        sym, _ = br.huff(dc_tables[ci])
+                        while nbits < 16:
+                            buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                 else 0)) & 0xFFFFFFFFFF
+                            posb += 1
+                            nbits += 8
+                        e = dc_tables[ci][(buf >> (nbits - 16)) & 0xFFFF]
+                        if e < 0:
+                            raise ValueError(
+                                "bad Huffman code (progressive)")
+                        nbits -= e & 31
+                        sym = e >> 5
                         if sym > 11:
                             raise ValueError("bad DC size")
-                        preds[ci] += _extend(br.bits(sym), sym) if sym else 0
+                        if sym:
+                            while nbits < sym:
+                                buf = ((buf << 8)
+                                       | (seg[posb] if posb < sn else 0))                                     & 0xFFFFFFFFFF
+                                posb += 1
+                                nbits += 8
+                            v = (buf >> (nbits - sym)) & ((1 << sym) - 1)
+                            nbits -= sym
+                            preds[ci] += _extend(v, sym)
                         coefs[ci][row, 0] = preds[ci] << al
                     unit += 1
             else:
+                bit = 1 << al
                 while unit < limit:  # DC refinement: one bit per block
                     for ci, row in units[unit]:
-                        if br.bits(1):
-                            coefs[ci][row, 0] |= 1 << al
+                        if nbits < 1:
+                            buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                 else 0)) & 0xFFFFFFFFFF
+                            posb += 1
+                            nbits += 8
+                        nbits -= 1
+                        if (buf >> nbits) & 1:
+                            coefs[ci][row, 0] |= bit
                     unit += 1
         elif ah == 0:
             eobrun = 0
@@ -378,22 +416,55 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                     eobrun -= 1
                     unit += 1
                     continue
-                row = rows[unit]
+                ri = rows[unit]
+                lst = None  # fetched lazily: EOB-only blocks never write
                 k = ss
                 while k <= se:
-                    sym, _ = br.huff(ac_table)
-                    r, s = sym >> 4, sym & 15
-                    if s == 0:
+                    while nbits < 16:
+                        buf = ((buf << 8) | (seg[posb] if posb < sn
+                                             else 0)) & 0xFFFFFFFFFF
+                        posb += 1
+                        nbits += 8
+                    e = ac_table[(buf >> (nbits - 16)) & 0xFFFF]
+                    if e < 0:
+                        raise ValueError("bad Huffman code (progressive)")
+                    nbits -= e & 31
+                    sym = e >> 5
+                    r = sym >> 4
+                    sz = sym & 15
+                    if sz == 0:
                         if r < 15:
-                            eobrun = (1 << r) - 1 + br.bits(r)
+                            if r:
+                                while nbits < r:
+                                    buf = ((buf << 8)
+                                           | (seg[posb] if posb < sn
+                                              else 0)) & 0xFFFFFFFFFF
+                                    posb += 1
+                                    nbits += 8
+                                ext = (buf >> (nbits - r)) & ((1 << r) - 1)
+                                nbits -= r
+                            else:
+                                ext = 0
+                            eobrun = (1 << r) - 1 + ext
                             break
                         k += 16  # ZRL
                     else:
                         k += r
                         if k > se:
                             raise ValueError("AC run overflows band")
-                        coef[row, k] = _extend(br.bits(s), s) << al
+                        while nbits < sz:
+                            buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                 else 0)) & 0xFFFFFFFFFF
+                            posb += 1
+                            nbits += 8
+                        v = (buf >> (nbits - sz)) & ((1 << sz) - 1)
+                        nbits -= sz
+                        if lst is None:
+                            lst = coef[ri].tolist()
+                        lst[k] = _extend(v, sz) << al
                         k += 1
+                if lst is not None:
+                    coef[ri] = lst
                 unit += 1
         else:
             eobrun = 0
@@ -401,47 +472,93 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             coef = coefs[scan_comps[0][0]]
             rows = [u[0][1] for u in units]  # AC scans are single-block
             while unit < limit:
-                row = coef[rows[unit]]
+                ri = rows[unit]
+                lst = coef[ri].tolist()
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        sym, _ = br.huff(ac_table)
-                        r, s = sym >> 4, sym & 15
-                        if s == 0:
+                        while nbits < 16:
+                            buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                 else 0)) & 0xFFFFFFFFFF
+                            posb += 1
+                            nbits += 8
+                        e = ac_table[(buf >> (nbits - 16)) & 0xFFFF]
+                        if e < 0:
+                            raise ValueError(
+                                "bad Huffman code (progressive)")
+                        nbits -= e & 31
+                        sym = e >> 5
+                        r = sym >> 4
+                        sz = sym & 15
+                        if sz == 0:
                             if r < 15:
-                                eobrun = (1 << r) + br.bits(r)
+                                if r:
+                                    while nbits < r:
+                                        buf = ((buf << 8)
+                                               | (seg[posb] if posb < sn
+                                                  else 0)) & 0xFFFFFFFFFF
+                                        posb += 1
+                                        nbits += 8
+                                    ext = (buf >> (nbits - r)) \
+                                        & ((1 << r) - 1)
+                                    nbits -= r
+                                else:
+                                    ext = 0
+                                eobrun = (1 << r) + ext
                                 break
                             # ZRL: skip 16 zero-history positions,
                             # refining nonzeros passed over
-                        elif s == 1:
-                            newval = p1 if br.bits(1) else m1
+                        elif sz == 1:
+                            if nbits < 1:
+                                buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                     else 0)) & 0xFFFFFFFFFF
+                                posb += 1
+                                nbits += 8
+                            nbits -= 1
+                            newval = p1 if (buf >> nbits) & 1 else m1
                         else:
                             raise ValueError(
                                 "bad refinement magnitude (must be ±1)")
                         while k <= se:
-                            if row[k] != 0:
-                                if br.bits(1) and (row[k] & p1) == 0:
-                                    row[k] += p1 if row[k] >= 0 else m1
+                            cv = lst[k]
+                            if cv != 0:
+                                if nbits < 1:
+                                    buf = ((buf << 8)
+                                           | (seg[posb] if posb < sn
+                                              else 0)) & 0xFFFFFFFFFF
+                                    posb += 1
+                                    nbits += 8
+                                nbits -= 1
+                                if ((buf >> nbits) & 1) and (cv & p1) == 0:
+                                    lst[k] = cv + (p1 if cv >= 0 else m1)
                             else:
                                 if r == 0:
                                     break
                                 r -= 1
                             k += 1
-                        if s == 1:
+                        if sz == 1:
                             if k > se:
                                 raise ValueError("AC run overflows band")
-                            row[k] = newval
+                            lst[k] = newval
                         k += 1
                 if eobrun > 0:
                     # refine every remaining nonzero in the band
                     while k <= se:
-                        if row[k] != 0:
-                            if br.bits(1) and (row[k] & p1) == 0:
-                                row[k] += p1 if row[k] >= 0 else m1
+                        cv = lst[k]
+                        if cv != 0:
+                            if nbits < 1:
+                                buf = ((buf << 8) | (seg[posb] if posb < sn
+                                                     else 0)) & 0xFFFFFFFFFF
+                                posb += 1
+                                nbits += 8
+                            nbits -= 1
+                            if ((buf >> nbits) & 1) and (cv & p1) == 0:
+                                lst[k] = cv + (p1 if cv >= 0 else m1)
                         k += 1
                     eobrun -= 1
+                coef[ri] = lst
                 unit += 1
-        if br.overrun():
+        if (posb << 3) - nbits > (sn << 3):
             raise ValueError("JPEG entropy data truncated (progressive)")
         if unit >= n_units:
             break
