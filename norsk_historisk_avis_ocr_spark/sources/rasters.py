@@ -236,6 +236,10 @@ def jpeg_pages_df(spark: SparkSession, sf_dir: str,
     from ..stages.jpeg import encode_jpeg_color, encode_jpeg_gray
     from ..stages.jpeg_progressive import encode_jpeg_progressive
 
+    unknown = set(arms) - {"gray", "color", "progressive"}
+    if unknown or not arms:
+        raise ValueError(f"unknown jpeg_pages_df arms {sorted(unknown)}")
+
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if limit is not None:
         ids = ids.orderBy("doc_id").limit(limit)

@@ -896,9 +896,7 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95,
     entropy_parts.append(bw.flush())
     entropy = b"".join(entropy_parts)
 
-    zz_q = np.zeros(64, dtype=np.int64)
-    zz_q[:] = q[_ZZ_ROWS, _ZZ_COLS]
-    dqt = bytes([0x00]) + bytes(int(x) for x in zz_q)
+    dqt = bytes([0x00]) + _zigzag_table_bytes(q)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
@@ -943,6 +941,16 @@ def _quantized_zigzag(plane: np.ndarray, by: int, bx: int,
     coefs = _DCT @ blocks @ _DCT.T
     qcoef = np.round(coefs / q).astype(np.int64)
     return qcoef[:, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _zigzag_table_bytes(q: np.ndarray) -> bytes:
+    """Quant table → its 64 zigzag-ordered bytes for a DQT segment
+    (shared by the baseline and progressive encoders — the two must
+    serialize tables identically or the shared-pipeline exactness
+    invariant breaks)."""
+    out = np.zeros(64, dtype=np.int64)
+    out[:] = q[_ZZ_ROWS, _ZZ_COLS]
+    return bytes(int(x) for x in out)
 
 
 def _color_zigzag_planes(rgb: np.ndarray, quality: int,
@@ -991,6 +999,7 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
     planes are box-mean downsampled. Two quant tables are written (Annex
     K.1 luma as table 0, K.2 chroma as table 1); all components share the
     same Huffman tables (legal — selectors all point at table 0)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
     zz_y, zz_c, mcuy, mcux, q_l, q_c = _color_zigzag_planes(
         rgb, quality, sampling)
     lv, lh = sampling
@@ -1024,12 +1033,8 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 95,
     entropy_parts.append(bw.flush())
     entropy = b"".join(entropy_parts)
 
-    def zz_of(q):
-        out = np.zeros(64, dtype=np.int64)
-        out[:] = q[_ZZ_ROWS, _ZZ_COLS]
-        return bytes(int(x) for x in out)
-
-    dqt = bytes([0x00]) + zz_of(q_l) + bytes([0x01]) + zz_of(q_c)
+    dqt = (bytes([0x00]) + _zigzag_table_bytes(q_l)
+           + bytes([0x01]) + _zigzag_table_bytes(q_c))
     sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
         [1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)

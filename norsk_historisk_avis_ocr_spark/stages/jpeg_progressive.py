@@ -1,4 +1,4 @@
-"""Progressive (SOF2) JPEG — grayscale decode + encoder test generator.
+"""Progressive (SOF2) JPEG — gray + color decode, encoder test generators.
 
 Web images and library-digitized scans are routinely progressive; the
 reference gets them free from PIL/libjpeg. The baseline module
@@ -352,6 +352,7 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             raise ValueError("missing Huffman table")
         ac_table = t.entry
 
+    ac_rows = ([u[0][1] for u in units] if ss > 0 else None)
     unit = 0
     for seg in segments:
         limit = (min(unit + restart_interval, n_units)
@@ -410,7 +411,7 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
         elif ah == 0:
             eobrun = 0
             coef = coefs[scan_comps[0][0]]
-            rows = [u[0][1] for u in units]  # AC scans are single-block
+            rows = ac_rows  # AC scans are single-block (hoisted)
             while unit < limit:
                 if eobrun > 0:
                     eobrun -= 1
@@ -470,7 +471,7 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
             coef = coefs[scan_comps[0][0]]
-            rows = [u[0][1] for u in units]  # AC scans are single-block
+            rows = ac_rows  # AC scans are single-block (hoisted)
             while unit < limit:
                 ri = rows[unit]
                 lst = coef[ri].tolist()
@@ -620,9 +621,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
             _encode_ac_refine(bw, zz, ss, se, ahh, all_, ac_codes)
         scans.append((ss, se, ahh, all_, bw.flush()))
 
-    zz_q = np.zeros(64, dtype=np.int64)
-    zz_q[:] = q[_ZZ_ROWS, _ZZ_COLS]
-    dqt = bytes([0x00]) + bytes(int(x) for x in zz_q)
+    from .jpeg import _zigzag_table_bytes
+    dqt = bytes([0x00]) + _zigzag_table_bytes(q)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
@@ -778,6 +778,7 @@ def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 95,
     own unpadded block grid)."""
     from .jpeg import _color_zigzag_planes
 
+    rgb = np.asarray(rgb, dtype=np.uint8)
     zz_y, zz_c, mcuy, mcux, q_l, q_c = _color_zigzag_planes(
         rgb, quality, sampling)
     lv, lh = sampling
@@ -840,12 +841,9 @@ def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 95,
                 sos = bytes([1, ci + 1, 0x00, ss, se, (ahh << 4) | all_])
                 scans.append((sos, bw.flush()))
 
-    def zz_of(q):
-        out = np.zeros(64, dtype=np.int64)
-        out[:] = q[_ZZ_ROWS, _ZZ_COLS]
-        return bytes(int(x) for x in out)
-
-    dqt = bytes([0x00]) + zz_of(q_l) + bytes([0x01]) + zz_of(q_c)
+    from .jpeg import _zigzag_table_bytes
+    dqt = (bytes([0x00]) + _zigzag_table_bytes(q_l)
+           + bytes([0x01]) + _zigzag_table_bytes(q_c))
     sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
         [1, (lh << 4) | lv, 0, 2, 0x11, 1, 3, 0x11, 1])
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)

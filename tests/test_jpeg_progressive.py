@@ -1,7 +1,8 @@
-"""Progressive (SOF2) grayscale JPEG: every scan kind exercised and
-pinned EXACT against the baseline decoder on identically-quantized
-coefficients (the reference gets progressive free from PIL/libjpeg;
-``stages/jpeg_progressive.py`` decodes the grayscale class for real)."""
+"""Progressive (SOF2) JPEG — grayscale AND 3-component color: every
+scan kind exercised and pinned EXACT against the baseline decoders on
+identically-quantized coefficients (the reference gets progressive free
+from PIL/libjpeg; ``stages/jpeg_progressive.py`` decodes both classes
+for real)."""
 
 import struct
 
