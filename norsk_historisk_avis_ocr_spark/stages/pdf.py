@@ -95,21 +95,21 @@ def _parse_object(data: bytes, i: int, depth: int = 0):
         m = _NAME_RE.match(data, i)
         return _Name(m.group()[1:].decode("latin-1")), m.end()
     if c == 0x28:  # (string) — value unused downstream; skip with nesting
-        depth = 1
+        parens = 1
         i += 1
         out_end = i
         n = len(data)
-        while out_end < n and depth:
+        while out_end < n and parens:
             b = data[out_end]
             if b == 0x5C:  # backslash escape
                 out_end += 2
                 continue
             if b == 0x28:
-                depth += 1
+                parens += 1
             elif b == 0x29:
-                depth -= 1
+                parens -= 1
             out_end += 1
-        if depth:
+        if parens:
             raise ValueError("unterminated PDF string")
         return b"", out_end
     if c == 0x3C:  # <hexstring>
