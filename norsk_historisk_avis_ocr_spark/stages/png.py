@@ -4,18 +4,21 @@ The reference's native input class is raster newspaper pages decoded by PIL
 (``engines/tesseract_engine.py:133-144``); this container has no image
 codecs, so the raster path ships its own minimal PNG reader/writer:
 
-- :func:`decode_png` — non-interlaced 8-bit grayscale / RGB / RGBA, all
-  five scanline filters. Filters 0-2 (None/Sub/Up) defilter as vectorized
-  numpy (Sub is a per-channel cumsum mod 256); 3-4 (Average/Paeth) fall
-  back to a scanline loop — our own encoder never emits them, they exist
-  for foreign files.
+- :func:`decode_png` — 8-bit grayscale / RGB / RGBA / palette (PLTE
+  lookup, optional tRNS ignored for opaque decode), non-interlaced or
+  Adam7-interlaced (each of the 7 passes is an independently filtered
+  sub-image, defiltered and scattered into place), all five scanline
+  filters. Filters 0-2 (None/Sub/Up) defilter as vectorized numpy (Sub
+  is a per-channel cumsum mod 256); 3-4 (Average/Paeth) fall back to a
+  scanline loop — our own encoder never emits them, they exist for
+  foreign files.
 - :func:`encode_png` — writes filter-0 scanlines (the fast decode path).
 - :func:`to_grayscale` — PIL-compatible ITU-R 601-2 integer luma
   (``(19595 R + 38470 G + 7471 B + 0x8000) >> 16``), so geometry computed
   on our decode matches what the reference would compute after
   ``image.convert("L")``.
 
-Anything unsupported (interlace, 16-bit, palette) raises ``ValueError`` so
+Anything unsupported (16-bit, sub-byte depths) raises ``ValueError`` so
 the caller can quarantine rather than mis-decode.
 """
 
@@ -27,7 +30,11 @@ import zlib
 import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette-indexed, RGBA
+
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -100,6 +107,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos, w = len(_SIGNATURE), 0
     h = bit_depth = color_type = interlace = None
+    plte = None
     idat = bytearray()
     saw_iend = False
     while pos + 8 <= len(data):
@@ -118,6 +126,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError("malformed PNG PLTE chunk")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -127,16 +139,44 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     if not saw_iend:
         raise ValueError("truncated PNG (no IEND chunk)")
-    if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
+    if bit_depth != 8 or color_type not in _CHANNELS or interlace not in \
+            (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth} color={color_type} "
-            f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
-            f"non-interlaced")
+            f"interlace={interlace}); only 8-bit gray/RGB/RGBA/palette")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w * ch + 1):
-        raise ValueError("PNG data length mismatch")
-    out = _defilter(raw, h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG data length mismatch")
+        out = _defilter(raw, h, w, ch).reshape(h, w, ch)
+    else:
+        # Adam7: seven independently filtered sub-images, scattered back
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass has NO data at all (not even filters)
+            need = ph * (pw * ch + 1)
+            sub = raw[off:off + need]
+            if len(sub) != need:
+                raise ValueError("PNG data length mismatch (interlaced)")
+            off += need
+            pix = _defilter(sub, ph, pw, ch).reshape(ph, pw, ch)
+            out[y0::dy, x0::dx] = pix
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch (interlaced)")
+    if color_type == 3:
+        idx = out.reshape(h, w)
+        if idx.size and int(idx.max()) >= len(plte):
+            # out-of-range index must be the quarantine ValueError, not
+            # an IndexError escaping from the numpy lookup
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]  # (h, w) indices -> (h, w, 3)
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 

@@ -177,3 +177,94 @@ def test_raster_pages_df_deterministic(spark, sf_dir):
     assert a == b and len(a) == 6
     arr = decode_png(next(iter(a.values())))
     assert arr.shape == (1100, 1460)
+
+
+def _gradient(h, w):
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    return ((y * 7 + x * 3) % 256).astype(np.uint8)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _encode_interlaced(arr, color_type, plte=None):
+    """Hand-build an Adam7-interlaced PNG (filter-0 rows per pass)."""
+    import struct
+    import zlib
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    a3 = arr.reshape(h, w, ch)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = a3[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("shape", [(32, 48), (7, 5), (1, 1), (9, 16)])
+def test_adam7_interlaced_gray_roundtrip(shape):
+    """Adam7 passes defilter independently and scatter back exactly —
+    odd dims exercise empty passes (which carry NO bytes at all)."""
+    img = _gradient(*shape)
+    assert (decode_png(_encode_interlaced(img, 0)) == img).all()
+
+
+def test_adam7_interlaced_rgb_roundtrip():
+    h, w = 21, 13
+    g = _gradient(h, w)
+    rgb = np.stack([g, (g + 50) % 256, 255 - g], axis=-1).astype(np.uint8)
+    assert (decode_png(_encode_interlaced(rgb, 2)) == rgb).all()
+
+
+def test_palette_png_decodes_to_rgb():
+    """color_type 3: indices map through PLTE to RGB (common web PNGs)."""
+    import struct
+    import zlib
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128],
+                     [200, 200, 200]], dtype=np.uint8)
+    idx = (np.indices((10, 12)).sum(axis=0) % 4).astype(np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    data = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 10, 8, 3, 0, 0, 0))
+            + _chunk(b"PLTE", plte.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    out = decode_png(data)
+    assert out.shape == (10, 12, 3)
+    assert (out == plte[idx]).all()
+    # interlaced palette combo
+    out2 = decode_png(_encode_interlaced(idx, 3, plte=plte))
+    assert (out2 == plte[idx]).all()
+    # grayscale conversion path works on the palette output
+    from norsk_historisk_avis_ocr_spark.stages.png import to_grayscale
+    assert to_grayscale(out).shape == (10, 12)
+
+
+def test_palette_png_malformed_is_loud():
+    import struct
+    import zlib
+    plte = np.array([[1, 2, 3]], dtype=np.uint8)
+    idx = np.full((4, 4), 3, dtype=np.uint8)  # index beyond the palette
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    base = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(base + _chunk(b"PLTE", plte.tobytes())
+                   + _chunk(b"IDAT", zlib.compress(raw))
+                   + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(base + _chunk(b"IDAT", zlib.compress(raw))
+                   + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(base + _chunk(b"PLTE", b"\x01\x02")  # not a multiple of 3
+                   + _chunk(b"IDAT", zlib.compress(raw))
+                   + _chunk(b"IEND", b""))

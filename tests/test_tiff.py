@@ -101,11 +101,17 @@ def test_rejects_unsupported_and_garbage():
         decode_tiff_gray(b"not a tiff")
     with pytest.raises(ValueError):
         decode_tiff_gray(bytes(data[:20]))        # truncated IFD
-    # flip compression to LZW (5): loud reject, not a mis-decode
-    lzw = bytearray(data)
-    idx = bytes(lzw).find(struct.pack("<HH", 259, 3))
-    lzw[idx + 8] = 5
+    # flip compression to JPEG-in-TIFF (7): loud reject, not a mis-decode
+    jpg = bytearray(data)
+    idx = bytes(jpg).find(struct.pack("<HH", 259, 3))
+    jpg[idx + 8] = 7
     with pytest.raises(ValueError, match="compression"):
+        decode_tiff_gray(bytes(jpg))
+    # relabeling RAW data as LZW (5) must also be loud (now a supported
+    # compression — the raw bytes are simply not a valid LZW stream)
+    lzw = bytearray(data)
+    lzw[idx + 8] = 5
+    with pytest.raises(ValueError):
         decode_tiff_gray(bytes(lzw))
 
 
@@ -149,3 +155,76 @@ def test_tiff_raster_leg_geometry_parity(spark):
                      (r.title_box.x0, r.title_box.y0,
                       r.title_box.x1, r.title_box.y1))
         assert got_title == want_title, pid
+
+
+def _simple_tiff(pixels: bytes, w, h, *, bits=8, spp=1, compression=1,
+                photometric=1, predictor=None, bo="<"):
+    """Hand-build a single-strip TIFF with arbitrary tag values."""
+    strip_off = 8
+    ifd_off = strip_off + len(pixels)
+    entries = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+               (259, 3, 1, compression), (262, 3, 1, photometric),
+               (273, 4, 1, strip_off), (277, 3, 1, spp),
+               (278, 3, 1, h), (279, 4, 1, len(pixels))]
+    if predictor is not None:
+        entries.append((317, 3, 1, predictor))
+    entries.sort()
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, typ, count, value in entries:
+        ifd += struct.pack(bo + "HHII", tag, typ, count, value)
+    ifd += struct.pack(bo + "I", 0)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return magic + struct.pack(bo + "I", ifd_off) + pixels + ifd
+
+
+def test_lzw_roundtrip_exact():
+    """LZW-compressed strips (the classic archival-scan compression)
+    decode to exact pixels; TIFF early-change width semantics pinned by
+    the in-module compressor."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import _lzw_encode
+    img = _gradient(120, 200)  # big enough to grow the code width
+    data = _simple_tiff(_lzw_encode(img.tobytes()), 200, 120, compression=5)
+    assert (decode_tiff_gray(data) == img).all()
+
+
+def test_lzw_with_horizontal_predictor():
+    """Predictor=2 stores per-row sample deltas before compression —
+    decode must cumsum them back (mod 256)."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import _lzw_encode
+    img = _gradient(40, 64)
+    diff = img.astype(np.int16)
+    diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) % 256
+    data = _simple_tiff(_lzw_encode(diff.astype(np.uint8).tobytes()),
+                       64, 40, compression=5, predictor=2)
+    assert (decode_tiff_gray(data) == img).all()
+
+
+def test_bilevel_bits_unpack_both_photometrics():
+    """1-bit bilevel (the newspaper-archive staple): MSB-first packed
+    rows, byte-aligned per row, both photometric polarities."""
+    img01 = (np.indices((10, 13)).sum(axis=0) % 2).astype(np.uint8)
+    row_bytes = -(-13 // 8)
+    packed = np.packbits(
+        np.pad(img01, ((0, 0), (0, row_bytes * 8 - 13))), axis=1).tobytes()
+    # BlackIsZero: bit 1 -> 255
+    d1 = _simple_tiff(packed, 13, 10, bits=1, photometric=1)
+    assert (decode_tiff_gray(d1) == img01 * 255).all()
+    # WhiteIsZero: bit 1 -> 0 (fax polarity)
+    d0 = _simple_tiff(packed, 13, 10, bits=1, photometric=0)
+    assert (decode_tiff_gray(d0) == (1 - img01) * 255).all()
+    # PackBits-compressed bilevel also decodes
+    from norsk_historisk_avis_ocr_spark.stages.tiff import _unpackbits_decode
+    # (trivial literal-run PackBits encoding)
+    pb = b"".join(bytes([len(packed[i:i + 128]) - 1]) + packed[i:i + 128]
+                  for i in range(0, len(packed), 128))
+    d2 = _simple_tiff(pb, 13, 10, bits=1, photometric=1, compression=32773)
+    assert (decode_tiff_gray(d2) == img01 * 255).all()
+
+
+def test_lzw_corrupt_is_loud():
+    from norsk_historisk_avis_ocr_spark.stages.tiff import _lzw_encode
+    img = _gradient(24, 24)
+    good = _lzw_encode(img.tobytes())
+    for broken in (good[:10], bytes([0xFF] * 20), good[:-5]):
+        with pytest.raises(ValueError):
+            decode_tiff_gray(_simple_tiff(broken, 24, 24, compression=5))
