@@ -4,7 +4,8 @@ The reference's native input class is raster newspaper pages decoded by PIL
 (``engines/tesseract_engine.py:133-144``); this container has no image
 codecs, so the raster path ships its own minimal PNG reader/writer:
 
-- :func:`decode_png` — 8-bit grayscale / RGB / RGBA / palette (PLTE
+- :func:`decode_png` — 8/16-bit grayscale / RGB / RGBA and 8-bit
+  palette (PLTE
   lookup, optional tRNS ignored for opaque decode), non-interlaced or
   Adam7-interlaced (each of the 7 passes is an independently filtered
   sub-image, defiltered and scattered into place), all five scanline
@@ -18,8 +19,9 @@ codecs, so the raster path ships its own minimal PNG reader/writer:
   on our decode matches what the reference would compute after
   ``image.convert("L")``.
 
-Anything unsupported (16-bit, sub-byte depths) raises ``ValueError`` so
-the caller can quarantine rather than mis-decode.
+16-bit samples decode via the high byte (PIL's ``I;16`` → ``L`` view).
+Anything unsupported (sub-byte depths, 16-bit palette) raises
+``ValueError`` so the caller can quarantine rather than mis-decode.
 """
 
 from __future__ import annotations
@@ -139,37 +141,42 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     if not saw_iend:
         raise ValueError("truncated PNG (no IEND chunk)")
-    if bit_depth != 8 or color_type not in _CHANNELS or interlace not in \
-            (0, 1):
+    if bit_depth not in (8, 16) or color_type not in _CHANNELS \
+            or interlace not in (0, 1) \
+            or (bit_depth == 16 and color_type == 3):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth} color={color_type} "
-            f"interlace={interlace}); only 8-bit gray/RGB/RGBA/palette")
+            f"interlace={interlace}); only 8/16-bit gray/RGB/RGBA/palette")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _CHANNELS[color_type]
+    bch = ch * (2 if bit_depth == 16 else 1)  # filter bytes-per-pixel
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
+        if len(raw) != h * (w * bch + 1):
             raise ValueError("PNG data length mismatch")
-        out = _defilter(raw, h, w, ch).reshape(h, w, ch)
+        out = _defilter(raw, h, w, bch).reshape(h, w, bch)
     else:
         # Adam7: seven independently filtered sub-images, scattered back
-        out = np.zeros((h, w, ch), dtype=np.uint8)
+        out = np.zeros((h, w, bch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue  # empty pass has NO data at all (not even filters)
-            need = ph * (pw * ch + 1)
+            need = ph * (pw * bch + 1)
             sub = raw[off:off + need]
             if len(sub) != need:
                 raise ValueError("PNG data length mismatch (interlaced)")
             off += need
-            pix = _defilter(sub, ph, pw, ch).reshape(ph, pw, ch)
+            pix = _defilter(sub, ph, pw, bch).reshape(ph, pw, bch)
             out[y0::dy, x0::dx] = pix
         if off != len(raw):
             raise ValueError("PNG data length mismatch (interlaced)")
+    if bit_depth == 16:
+        # big-endian 16-bit samples -> high byte (PIL's I;16 -> L view)
+        out = out.reshape(h, w, ch, 2)[:, :, :, 0]
     if color_type == 3:
         idx = out.reshape(h, w)
         if idx.size and int(idx.max()) >= len(plte):

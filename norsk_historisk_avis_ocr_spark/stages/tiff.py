@@ -238,9 +238,11 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
     spp = one(_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(_BITS, [8])
     bilevel = bits == [1] and spp == 1
-    if not bilevel and (any(b != 8 for b in bits) or spp not in (1, 3)):
+    gray16 = bits == [16] and spp == 1
+    if not bilevel and not gray16 and (any(b != 8 for b in bits)
+                                       or spp not in (1, 3)):
         raise ValueError(f"unsupported TIFF (bits={bits} samples={spp}); "
-                         "8-bit gray/RGB or 1-bit bilevel only")
+                         "8/16-bit gray, 8-bit RGB, or 1-bit bilevel only")
     compression = one(_COMPRESSION, 1)
     if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}; "
@@ -265,7 +267,7 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError("TIFF missing strip offsets/byte counts")
     rows_per_strip = one(_ROWS_PER_STRIP, h)
 
-    row_bytes = (-(-w // 8)) if bilevel else w * spp
+    row_bytes = (-(-w // 8)) if bilevel else w * spp * (2 if gray16 else 1)
     out = bytearray()
     remaining_rows = h
     for off, cnt in zip(offsets, counts):
@@ -287,6 +289,17 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError("TIFF strips cover fewer rows than ImageLength")
 
     arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if gray16:
+        # 16-bit samples in the FILE's byte order -> high byte (the same
+        # I;16 -> L view as the PNG path); predictor 2 diffs 16-bit values
+        a16 = np.frombuffer(bytes(out), dtype=bo + "u2") \
+            .reshape(h, w).astype(np.uint32)
+        if predictor == 2:
+            a16 = np.cumsum(a16, axis=1, dtype=np.uint32) & 0xFFFF
+        gray = (a16 >> 8).astype(np.uint8)
+        if photometric == 0:
+            gray = (255 - gray.astype(np.int16)).astype(np.uint8)
+        return gray
     if bilevel:
         # bits MSB-first per row, each row padded to a byte boundary;
         # bit 1 = max value under BlackIsZero, = black under WhiteIsZero

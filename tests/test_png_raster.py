@@ -87,7 +87,7 @@ def test_png_roundtrip_property():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)  # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # sub-byte depth
     png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(png)
@@ -268,3 +268,17 @@ def test_palette_png_malformed_is_loud():
         decode_png(base + _chunk(b"PLTE", b"\x01\x02")  # not a multiple of 3
                    + _chunk(b"IDAT", zlib.compress(raw))
                    + _chunk(b"IEND", b""))
+
+
+def test_16bit_gray_high_byte():
+    """16-bit gray decodes via the high byte (PIL's I;16 → L view);
+    works interlaced too."""
+    import zlib
+    hi = _gradient(9, 7)
+    # numpy ops drop explicit byte order — cast back to big-endian LAST
+    samples = ((hi.astype(np.uint16) << 8) | 0x42).astype(">u2")
+    raw = b"".join(b"\x00" + row.tobytes() for row in samples)
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 16, 0, 0, 0, 0)
+    data = (_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    assert (decode_png(data) == hi).all()

@@ -171,7 +171,11 @@ def _simple_tiff(pixels: bytes, w, h, *, bits=8, spp=1, compression=1,
     entries.sort()
     ifd = struct.pack(bo + "H", len(entries))
     for tag, typ, count, value in entries:
-        ifd += struct.pack(bo + "HHII", tag, typ, count, value)
+        if typ == 3:  # SHORT value occupies the FIRST 2 value bytes
+            ifd += struct.pack(bo + "HHI", tag, typ, count) \
+                + struct.pack(bo + "H", value) + b"\x00\x00"
+        else:
+            ifd += struct.pack(bo + "HHII", tag, typ, count, value)
     ifd += struct.pack(bo + "I", 0)
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     return magic + struct.pack(bo + "I", ifd_off) + pixels + ifd
@@ -228,3 +232,20 @@ def test_lzw_corrupt_is_loud():
     for broken in (good[:10], bytes([0xFF] * 20), good[:-5]):
         with pytest.raises(ValueError):
             decode_tiff_gray(_simple_tiff(broken, 24, 24, compression=5))
+
+
+def test_16bit_gray_high_byte_both_orders():
+    """16-bit gray decodes via the high byte in the FILE's byte order;
+    horizontal predictor diffs 16-bit samples."""
+    hi = _gradient(6, 9)
+    for bo, dt in (("<", "<u2"), (">", ">u2")):
+        samples = ((hi.astype(np.uint16) << 8) | 0x37).astype(dt)
+        data = _simple_tiff(samples.tobytes(), 9, 6, bits=16, bo=bo)
+        assert (decode_tiff_gray(data) == hi).all(), bo
+    # predictor 2 over 16-bit deltas
+    s16 = ((hi.astype(np.uint16) << 8)).astype(np.int32)
+    diff = s16.copy()
+    diff[:, 1:] = (s16[:, 1:] - s16[:, :-1]) % 65536
+    data = _simple_tiff(diff.astype("<u2").tobytes(), 9, 6, bits=16,
+                        predictor=2)
+    assert (decode_tiff_gray(data) == hi).all()
