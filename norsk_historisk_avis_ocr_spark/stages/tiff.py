@@ -9,16 +9,17 @@ sniffed-but-stubbed image format in ``operators/multimodal.py``:
   WhiteIsZero), 1-bit bilevel (the newspaper-archive staple — bits
   unpacked MSB-first per row), and 8-bit RGB (converted with the same
   PIL-exact integer luma as the PNG path); uncompressed (Compression=1),
-  PackBits (32773), or LZW (5, the classic archival-scan compression,
+  CCITT Group 4 (4 — the dominant archival bilevel compression, full
+  T.6 2-D coding with the T.4 run tables), PackBits (32773), or LZW (5,
   libtiff early-change semantics) with optional horizontal-differencing
   Predictor (tag 317 = 2); strip-based, both byte orders (II/MM).
 - :func:`encode_tiff_gray` — single-strip uncompressed little-endian
   grayscale writer; tests additionally hand-build LZW/bilevel streams
   with an in-module LZW compressor.
 
-Anything else (tiles, JPEG-in-TIFF, 16-bit, planar, palettes, CCITT fax)
-raises ``ValueError`` — the same loud-failure/quarantine contract as the
-PNG and JPEG codecs.
+Anything else (tiles, JPEG-in-TIFF, planar, palettes, G3/1-D fax,
+T6Options extensions) raises ``ValueError`` — the same loud-failure/
+quarantine contract as the PNG and JPEG codecs.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
 _STRIP_BYTE_COUNTS = 279
 _PREDICTOR = 317
+_T6_OPTIONS = 293
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
@@ -178,6 +180,204 @@ def _lzw_encode(data: bytes) -> bytes:
     return wtr.tobytes()
 
 
+# --- CCITT Group 4 (ITU-T T.6) bilevel decode ------------------------------
+# Run-length code tables from the public ITU-T T.4 spec (Tables 1-3):
+# terminating codes (runs 0-63), makeup codes (64-1728 per colour), and
+# the shared extended makeup codes (1792-2560).
+
+_WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+_BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+}
+_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+# extended makeup codes (shared white/black), 1792-2560
+_EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+
+
+def _g4_code_map(*tables) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for t in tables:
+        out.update({code: run for run, code in t.items()})
+    return out
+
+
+_G4_WHITE = _g4_code_map(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
+_G4_BLACK = _g4_code_map(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
+
+
+def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """T.6 (Group 4) bitstream → (h, w) uint8 with 1 = black — the
+    dominant archival bilevel compression. Pure 2-D coding: each row is
+    coded against the previous row's colour-change positions via
+    vertical/pass/horizontal modes; the imaginary line above row 0 is all
+    white. Python per-change loop (a newspaper row has ~10²  changes —
+    this is a contract/coverage path, not the bench hot loop)."""
+    nbits = len(data) * 8
+
+    def bit(p: int) -> int:
+        return (data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def peek(p: int, k: int) -> str:
+        return "".join(str(bit(q)) for q in range(p, min(p + k, nbits)))
+
+    def read_run(p: int, codes: dict) -> tuple[int, int]:
+        total = 0
+        while True:
+            window = peek(p, 13)
+            for ln in range(2, 14):
+                run = codes.get(window[:ln])
+                if run is not None and len(window) >= ln:
+                    p += ln
+                    total += run
+                    break
+            else:
+                raise ValueError("bad G4 run code")
+            if run < 64:  # terminating code ends the run
+                return total, p
+            # makeup codes accumulate (runs > 2560 repeat makeups)
+
+    pos = 0
+    ref = [w, w]
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        cur: list[int] = []
+        a0 = -1
+        color = 0  # 0 = white
+        while a0 < w:
+            b1 = w
+            for idx, pxy in enumerate(ref):
+                if pxy > a0 and idx % 2 == color:
+                    b1 = pxy
+                    break
+            b2 = w
+            for pxy in ref:
+                if pxy > b1:
+                    b2 = pxy
+                    break
+            win = peek(pos, 7)
+            if win.startswith("1"):            # V0
+                pos += 1
+                a1 = b1
+            elif win.startswith("011"):        # VR1
+                pos += 3
+                a1 = b1 + 1
+            elif win.startswith("000011"):     # VR2
+                pos += 6
+                a1 = b1 + 2
+            elif win.startswith("0000011"):    # VR3
+                pos += 7
+                a1 = b1 + 3
+            elif win.startswith("010"):        # VL1
+                pos += 3
+                a1 = b1 - 1
+            elif win.startswith("000010"):     # VL2
+                pos += 6
+                a1 = b1 - 2
+            elif win.startswith("0000010"):    # VL3
+                pos += 7
+                a1 = b1 - 3
+            elif win.startswith("0001"):       # pass
+                pos += 4
+                a0 = b2
+                continue
+            elif win.startswith("001"):        # horizontal: two T.4 runs
+                pos += 3
+                first = _G4_WHITE if color == 0 else _G4_BLACK
+                second = _G4_BLACK if color == 0 else _G4_WHITE
+                r1, pos = read_run(pos, first)
+                r2, pos = read_run(pos, second)
+                start = a0 if a0 > 0 else 0
+                a1, a2 = start + r1, start + r1 + r2
+                if a2 > w:
+                    raise ValueError("G4 horizontal run overflows row")
+                cur.extend((a1, a2))
+                a0 = a2
+                continue
+            else:
+                raise ValueError("bad G4 mode code")
+            if a1 > w or a1 < 0 or (cur and a1 < cur[-1]):
+                raise ValueError("G4 vertical move out of range")
+            cur.append(a1)
+            color ^= 1
+            a0 = a1
+        # change positions → pixels: odd-indexed spans are black
+        col = 0
+        prev = 0
+        for pxy in cur:
+            if col:
+                out[y, prev:min(pxy, w)] = 1
+            prev = pxy
+            col ^= 1
+        if col:
+            out[y, prev:w] = 1
+        ref = cur + [w, w]
+    return out
+
+
 def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
     if len(data) < 8:
         raise ValueError("truncated TIFF header")
@@ -244,9 +444,14 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF (bits={bits} samples={spp}); "
                          "8/16-bit gray, 8-bit RGB, or 1-bit bilevel only")
     compression = one(_COMPRESSION, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}; "
-                         "uncompressed/LZW/PackBits only")
+                         "uncompressed/G4/LZW/PackBits only")
+    if compression == 4:
+        if not bilevel:
+            raise ValueError("TIFF G4 compression requires 1-bit data")
+        if one(_T6_OPTIONS, 0) != 0:
+            raise ValueError("unsupported TIFF T6Options")
     predictor = one(_PREDICTOR, 1)
     if predictor not in (1, 2) or (predictor == 2 and bilevel):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -278,6 +483,10 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         expected = n_rows * row_bytes
         if compression == 32773:
             out += _unpackbits_decode(strip, expected)
+        elif compression == 4:
+            # decode to 1 bit per pixel, repacked to the row-padded layout
+            bits01 = _g4_decode(strip, w, n_rows)
+            out += np.packbits(bits01, axis=1).tobytes()
         elif compression == 5:
             out += _lzw_decode(strip, expected)
         else:

@@ -249,3 +249,122 @@ def test_16bit_gray_high_byte_both_orders():
     data = _simple_tiff(diff.astype("<u2").tobytes(), 9, 6, bits=16,
                         predictor=2)
     assert (decode_tiff_gray(data) == hi).all()
+
+
+def _g4_encode(img01: np.ndarray, w: int) -> bytes:
+    """Test-local T.6 encoder (vertical/pass/horizontal modes + T.4 run
+    tables imported from the codec — the decoder's own alphabet)."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        _BLACK_MAKEUP, _BLACK_TERM, _EXT_MAKEUP, _WHITE_MAKEUP, _WHITE_TERM,
+    )
+    bits: list[str] = []
+
+    def emit_run(run, term, makeup):
+        while run >= 64:
+            best = max(k for k in list(makeup) + list(_EXT_MAKEUP)
+                       if 64 <= k <= run)
+            bits.append(makeup.get(best) or _EXT_MAKEUP[best])
+            run -= best
+        bits.append(term[run])
+
+    def changes(row):
+        ch = []
+        prev = 0
+        for x in range(w):
+            if row[x] != prev:
+                ch.append(x)
+                prev = row[x]
+        return ch
+
+    ref = [w, w]
+    for row in img01:
+        cur = changes(row)
+        a0, color = -1, 0
+        while a0 < w:
+            a1 = next((p for p in cur if p > a0), w)
+            b1 = w
+            for idx, p in enumerate(ref):
+                if p > a0 and idx % 2 == color:
+                    b1 = p
+                    break
+            b2 = next((p for p in ref if p > b1), w)
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                             -1: "010", -2: "000010", -3: "0000010"}[d])
+                a0 = a1
+                color ^= 1
+                continue
+            a2 = next((p for p in cur if p > a1), w)
+            start = a0 if a0 > 0 else 0
+            bits.append("001")
+            if color == 0:
+                emit_run(a1 - start, _WHITE_TERM, _WHITE_MAKEUP)
+                emit_run(a2 - a1, _BLACK_TERM, _BLACK_MAKEUP)
+            else:
+                emit_run(a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
+                emit_run(a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
+            a0 = a2
+        ref = cur + [w, w]
+    bits.append("000000000001000000000001")  # EOFB
+    s = "".join(bits)
+    s += "0" * ((-len(s)) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_g4_bilevel_roundtrips():
+    """CCITT Group 4 (the dominant archival bilevel compression):
+    vertical/pass/horizontal modes and multi-makeup runs all roundtrip
+    exactly, both photometric polarities."""
+    rng = np.random.default_rng(11)
+    cases = [rng.integers(0, 2, size=(13, 37)).astype(np.uint8),
+             (np.indices((9, 130)).sum(axis=0) % 9 < 4).astype(np.uint8),
+             np.zeros((5, 200), dtype=np.uint8),
+             np.ones((4, 150), dtype=np.uint8)]
+    cases[2][:, 190:] = 1  # long white run -> makeup codes
+    for img01 in cases:
+        h, w = img01.shape
+        data = _simple_tiff(_g4_encode(img01, w), w, h, bits=1,
+                            compression=4, photometric=0)
+        # photometric 0 (min-is-white): bit 1 = black = 0 after mapping
+        assert (decode_tiff_gray(data) == (1 - img01) * 255).all()
+        data1 = _simple_tiff(_g4_encode(img01, w), w, h, bits=1,
+                             compression=4, photometric=1)
+        assert (decode_tiff_gray(data1) == img01 * 255).all()
+
+
+def test_g4_thresholded_page_segments(spark):
+    """A thresholded (bilevel) synthetic page compressed with G4 decodes
+    through the Spark raster operator end-to-end."""
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_image_pages,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.rasters import (
+        synth_page_array,
+    )
+    page = synth_page_array("g4-1", width=300, height=260)
+    img01 = (page < 128).astype(np.uint8)  # ink = 1
+    data = _simple_tiff(_g4_encode(img01, 300), 300, 260, bits=1,
+                        compression=4, photometric=0)
+    df = spark.createDataFrame([("g4-1", bytearray(data))],
+                               "page_id string, png binary")
+    row = segment_image_pages(df).collect()[0]
+    assert row.decode_error is None
+    assert row.boundaries
+
+
+def test_g4_corrupt_is_loud():
+    img01 = np.ones((6, 40), dtype=np.uint8)
+    good = _g4_encode(img01, 40)
+    for broken in (good[:2], bytes([0x04] * 6)):
+        with pytest.raises(ValueError):
+            decode_tiff_gray(_simple_tiff(broken, 40, 6, bits=1,
+                                          compression=4))
+    # G4 on 8-bit data is contradictory
+    with pytest.raises(ValueError, match="1-bit"):
+        decode_tiff_gray(_simple_tiff(b"\x00" * 16, 4, 4, bits=8,
+                                      compression=4))
