@@ -378,6 +378,49 @@ def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """CCITT "Modified Huffman" RLE (TIFF Compression=2): each row is an
+    independent sequence of alternating white/black T.4 runs starting
+    white, byte-aligned at the start of every row — the 1-D cousin of
+    Group 4, sharing its run tables."""
+    nbits = len(data) * 8
+
+    def peek(p: int, k: int) -> str:
+        out = []
+        for q in range(p, min(p + k, nbits)):
+            out.append(str((data[q >> 3] >> (7 - (q & 7))) & 1))
+        return "".join(out)
+
+    pos = 0
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        pos = (pos + 7) & ~7  # rows are byte-aligned
+        x = 0
+        color = 0
+        while x < w:
+            codes = _G4_WHITE if color == 0 else _G4_BLACK
+            total = 0
+            while True:
+                window = peek(pos, 13)
+                for ln in range(2, 14):
+                    run = codes.get(window[:ln])
+                    if run is not None and len(window) >= ln:
+                        pos += ln
+                        total += run
+                        break
+                else:
+                    raise ValueError("bad MH run code")
+                if run < 64:
+                    break
+            if x + total > w:
+                raise ValueError("MH run overflows row")
+            if color:
+                out[y, x:x + total] = 1
+            x += total
+            color ^= 1
+    return out
+
+
 def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
     if len(data) < 8:
         raise ValueError("truncated TIFF header")
@@ -444,13 +487,14 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF (bits={bits} samples={spp}); "
                          "8/16-bit gray, 8-bit RGB, or 1-bit bilevel only")
     compression = one(_COMPRESSION, 1)
-    if compression not in (1, 4, 5, 32773):
+    if compression not in (1, 2, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}; "
-                         "uncompressed/G4/LZW/PackBits only")
-    if compression == 4:
+                         "uncompressed/MH/G4/LZW/PackBits only")
+    if compression in (2, 4):
         if not bilevel:
-            raise ValueError("TIFF G4 compression requires 1-bit data")
-        if one(_T6_OPTIONS, 0) != 0:
+            raise ValueError(
+                "TIFF CCITT compression requires 1-bit data")
+        if compression == 4 and one(_T6_OPTIONS, 0) != 0:
             raise ValueError("unsupported TIFF T6Options")
     predictor = one(_PREDICTOR, 1)
     if predictor not in (1, 2) or (predictor == 2 and bilevel):
@@ -483,9 +527,10 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         expected = n_rows * row_bytes
         if compression == 32773:
             out += _unpackbits_decode(strip, expected)
-        elif compression == 4:
+        elif compression in (2, 4):
             # decode to 1 bit per pixel, repacked to the row-padded layout
-            bits01 = _g4_decode(strip, w, n_rows)
+            dec = _g4_decode if compression == 4 else _mh_decode
+            bits01 = dec(strip, w, n_rows)
             out += np.packbits(bits01, axis=1).tobytes()
         elif compression == 5:
             out += _lzw_decode(strip, expected)

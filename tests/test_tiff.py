@@ -368,3 +368,47 @@ def test_g4_corrupt_is_loud():
     with pytest.raises(ValueError, match="1-bit"):
         decode_tiff_gray(_simple_tiff(b"\x00" * 16, 4, 4, bits=8,
                                       compression=4))
+
+
+def test_mh_rle_bilevel_roundtrip():
+    """CCITT Modified Huffman (Compression=2): byte-aligned 1-D rows of
+    alternating white/black runs, same T.4 tables as G4."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        _BLACK_MAKEUP, _BLACK_TERM, _EXT_MAKEUP, _WHITE_MAKEUP, _WHITE_TERM,
+    )
+    rng = np.random.default_rng(4)
+    img01 = rng.integers(0, 2, size=(7, 90)).astype(np.uint8)
+    img01[3] = 0            # all-white row (single 90 run)
+    img01[4] = 1            # all-black row (0-white then 90-black)
+    bits = []
+
+    def emit(run, term, makeup):
+        while run >= 64:
+            best = max(k for k in list(makeup) + list(_EXT_MAKEUP)
+                       if 64 <= k <= run)
+            bits.append(makeup.get(best) or _EXT_MAKEUP[best])
+            run -= best
+        bits.append(term[run])
+
+    for row in img01:
+        # byte-align the row start
+        n = sum(len(b) for b in bits)
+        bits.append("0" * ((-n) % 8))
+        x, color = 0, 0
+        while x < 90:
+            run = 0
+            while x + run < 90 and row[x + run] == color:
+                run += 1
+            emit(run, _WHITE_TERM if color == 0 else _BLACK_TERM,
+                 _WHITE_MAKEUP if color == 0 else _BLACK_MAKEUP)
+            x += run
+            color ^= 1
+    s = "".join(bits)
+    s += "0" * ((-len(s)) % 8)
+    payload = bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+    data = _simple_tiff(payload, 90, 7, bits=1, compression=2,
+                        photometric=0)
+    assert (decode_tiff_gray(data) == (1 - img01) * 255).all()
+    with pytest.raises(ValueError):
+        decode_tiff_gray(_simple_tiff(payload[:3], 90, 7, bits=1,
+                                      compression=2))
