@@ -269,56 +269,60 @@ _G4_WHITE = _g4_code_map(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
 _G4_BLACK = _g4_code_map(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
 
 
+def _peek_bits(data: bytes, nbits: int, p: int, k: int) -> str:
+    """MSB-first bit window as a 0/1 string (shared by the CCITT
+    decoders; short near the end — zero semantics via prefix match)."""
+    return "".join(str((data[q >> 3] >> (7 - (q & 7))) & 1)
+                   for q in range(p, min(p + k, nbits)))
+
+
+def _read_t4_run(data: bytes, nbits: int, p: int,
+                 codes: dict[str, int]) -> tuple[int, int]:
+    """One T.4 run length at bit ``p`` → (total, new_pos): makeup codes
+    (≥64) accumulate until a terminating code (<64) ends the run (runs
+    beyond 2560 repeat makeups). Shared by the G4 and MH decoders."""
+    total = 0
+    while True:
+        window = _peek_bits(data, nbits, p, 13)
+        for ln in range(2, 14):
+            run = codes.get(window[:ln])
+            if run is not None and len(window) >= ln:
+                p += ln
+                total += run
+                break
+        else:
+            raise ValueError("bad T.4 run code")
+        if run < 64:
+            return total, p
+
+
 def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """T.6 (Group 4) bitstream → (h, w) uint8 with 1 = black — the
     dominant archival bilevel compression. Pure 2-D coding: each row is
     coded against the previous row's colour-change positions via
     vertical/pass/horizontal modes; the imaginary line above row 0 is all
-    white. Python per-change loop (a newspaper row has ~10²  changes —
-    this is a contract/coverage path, not the bench hot loop)."""
+    white. The reference-line cursor advances monotonically with a0, so
+    a row decodes in O(changes) — a halftone region with 10³ changes per
+    row stays linear, not quadratic."""
     nbits = len(data) * 8
-
-    def bit(p: int) -> int:
-        return (data[p >> 3] >> (7 - (p & 7))) & 1
-
-    def peek(p: int, k: int) -> str:
-        return "".join(str(bit(q)) for q in range(p, min(p + k, nbits)))
-
-    def read_run(p: int, codes: dict) -> tuple[int, int]:
-        total = 0
-        while True:
-            window = peek(p, 13)
-            for ln in range(2, 14):
-                run = codes.get(window[:ln])
-                if run is not None and len(window) >= ln:
-                    p += ln
-                    total += run
-                    break
-            else:
-                raise ValueError("bad G4 run code")
-            if run < 64:  # terminating code ends the run
-                return total, p
-            # makeup codes accumulate (runs > 2560 repeat makeups)
-
     pos = 0
-    ref = [w, w]
+    ref = [w, w, w, w]
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
         cur: list[int] = []
         a0 = -1
         color = 0  # 0 = white
+        ri = 0     # first ref index with ref[ri] > a0 (monotone in a0)
         while a0 < w:
-            b1 = w
-            for idx, pxy in enumerate(ref):
-                if pxy > a0 and idx % 2 == color:
-                    b1 = pxy
-                    break
-            b2 = w
-            for pxy in ref:
-                if pxy > b1:
-                    b2 = pxy
-                    break
-            win = peek(pos, 7)
+            while ref[ri] <= a0:
+                ri += 1
+            # b1: first change > a0 whose index parity matches the colour
+            # (even = white→black); changes strictly increase, so at most
+            # one step right fixes the parity
+            bi = ri if ri % 2 == color else ri + 1
+            b1 = ref[bi]
+            b2 = ref[bi + 1]
+            win = _peek_bits(data, nbits, pos, 7)
             if win.startswith("1"):            # V0
                 pos += 1
                 a1 = b1
@@ -348,8 +352,8 @@ def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
                 pos += 3
                 first = _G4_WHITE if color == 0 else _G4_BLACK
                 second = _G4_BLACK if color == 0 else _G4_WHITE
-                r1, pos = read_run(pos, first)
-                r2, pos = read_run(pos, second)
+                r1, pos = _read_t4_run(data, nbits, pos, first)
+                r2, pos = _read_t4_run(data, nbits, pos, second)
                 start = a0 if a0 > 0 else 0
                 a1, a2 = start + r1, start + r1 + r2
                 if a2 > w:
@@ -359,7 +363,10 @@ def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
                 continue
             else:
                 raise ValueError("bad G4 mode code")
-            if a1 > w or a1 < 0 or (cur and a1 < cur[-1]):
+            # coding elements move strictly rightward (T.6): a crafted
+            # pass-then-VL sequence could otherwise step left past a0 and
+            # decode silent garbage instead of quarantining
+            if a1 > w or a1 <= a0:
                 raise ValueError("G4 vertical move out of range")
             cur.append(a1)
             color ^= 1
@@ -374,7 +381,7 @@ def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
             col ^= 1
         if col:
             out[y, prev:w] = 1
-        ref = cur + [w, w]
+        ref = cur + [w, w, w, w]
     return out
 
 
@@ -382,15 +389,8 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """CCITT "Modified Huffman" RLE (TIFF Compression=2): each row is an
     independent sequence of alternating white/black T.4 runs starting
     white, byte-aligned at the start of every row — the 1-D cousin of
-    Group 4, sharing its run tables."""
+    Group 4, sharing its run tables and run reader."""
     nbits = len(data) * 8
-
-    def peek(p: int, k: int) -> str:
-        out = []
-        for q in range(p, min(p + k, nbits)):
-            out.append(str((data[q >> 3] >> (7 - (q & 7))) & 1))
-        return "".join(out)
-
     pos = 0
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
@@ -399,19 +399,7 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
         color = 0
         while x < w:
             codes = _G4_WHITE if color == 0 else _G4_BLACK
-            total = 0
-            while True:
-                window = peek(pos, 13)
-                for ln in range(2, 14):
-                    run = codes.get(window[:ln])
-                    if run is not None and len(window) >= ln:
-                        pos += ln
-                        total += run
-                        break
-                else:
-                    raise ValueError("bad MH run code")
-                if run < 64:
-                    break
+            total, pos = _read_t4_run(data, nbits, pos, codes)
             if x + total > w:
                 raise ValueError("MH run overflows row")
             if color:
