@@ -152,6 +152,10 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], dict]:
     offsets: dict[int, int] = {}
     trailer: dict = {}
     seen = set()
+    # first-wins across sections for BOTH kinds: an object marked free
+    # ('f') in a newer incremental-update section must shadow an older
+    # section's 'n' entry, not be resurrected from its stale offset
+    seen_objs: set[int] = set()
     while True:
         if offset in seen or offset >= len(data):
             raise ValueError("PDF xref chain is cyclic or out of range")
@@ -173,11 +177,14 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], dict]:
                 if len(ent) < 18:
                     raise ValueError("truncated PDF xref entry")
                 kind = ent[17:18]
+                num = start + k2
                 if kind == b"n":
-                    num = start + k2
-                    if num not in offsets:
+                    if num not in seen_objs:
+                        seen_objs.add(num)
                         offsets[num] = int(ent[0:10])
-                elif kind != b"f":
+                elif kind == b"f":
+                    seen_objs.add(num)
+                else:
                     raise ValueError("malformed PDF xref entry")
                 i += 20
             i = _skip_ws(data, i)
@@ -304,6 +311,22 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
     h = doc.deref(d.get("Height"))
     if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
         raise ValueError("PDF image has invalid dimensions")
+    # sample-remap / masking semantics this decoder does not implement:
+    # a /Decode [1 0] image would decode with silently inverted polarity
+    # and an /ImageMask is a stencil, not a raster — quarantine both (and
+    # /SMask, whose alpha would be dropped) per the loud-failure contract
+    if doc.deref(d.get("ImageMask")) is True:
+        raise ValueError("PDF /ImageMask stencils unsupported")
+    if d.get("SMask") is not None:  # presence alone disqualifies
+        raise ValueError("PDF /SMask soft masks unsupported")
+    decode_arr = doc.deref(d.get("Decode"))
+    if decode_arr is not None:
+        vals = [doc.deref(v) for v in decode_arr] \
+            if isinstance(decode_arr, list) else None
+        ncomp_d = len(vals) // 2 if vals else 0
+        if vals != [0, 1] * ncomp_d or ncomp_d == 0:
+            raise ValueError(
+                f"non-default PDF /Decode array unsupported: {decode_arr}")
     filt = doc.deref(d.get("Filter"))
     if isinstance(filt, list):
         if len(filt) != 1:

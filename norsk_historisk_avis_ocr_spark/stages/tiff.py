@@ -10,16 +10,20 @@ sniffed-but-stubbed image format in ``operators/multimodal.py``:
   unpacked MSB-first per row), and 8-bit RGB (converted with the same
   PIL-exact integer luma as the PNG path); uncompressed (Compression=1),
   CCITT Group 4 (4 — the dominant archival bilevel compression, full
-  T.6 2-D coding with the T.4 run tables), PackBits (32773), or LZW (5,
-  libtiff early-change semantics) with optional horizontal-differencing
-  Predictor (tag 317 = 2); strip-based, both byte orders (II/MM).
+  T.6 2-D coding with the T.4 run tables), CCITT Group 3 (3 — the
+  fax-era coding: T.4 1-D EOL-synced rows plus the 2-D and
+  byte-aligned-EOL T4Options variants, sharing the G4 machinery),
+  PackBits (32773), or LZW (5, libtiff early-change semantics) with
+  optional horizontal-differencing Predictor (tag 317 = 2); strip-based,
+  both byte orders (II/MM); FillOrder=2 (LSB-first, fax-origin files)
+  bit-reverses each bit-serial strip.
 - :func:`encode_tiff_gray` — single-strip uncompressed little-endian
-  grayscale writer; tests additionally hand-build LZW/bilevel streams
-  with an in-module LZW compressor.
+  grayscale writer; tests additionally hand-build LZW/bilevel/CCITT
+  streams with in-module/test-local compressors.
 
-Anything else (tiles, JPEG-in-TIFF, planar, palettes, G3/1-D fax,
-T6Options extensions) raises ``ValueError`` — the same loud-failure/
-quarantine contract as the PNG and JPEG codecs.
+Anything else (tiles, JPEG-in-TIFF, planar, palettes, T4Options
+uncompressed mode, T6Options extensions) raises ``ValueError`` — the
+same loud-failure/quarantine contract as the PNG and JPEG codecs.
 """
 
 from __future__ import annotations
@@ -34,7 +38,13 @@ _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
 _STRIP_BYTE_COUNTS = 279
 _PREDICTOR = 317
+_T4_OPTIONS = 292
 _T6_OPTIONS = 293
+_FILL_ORDER = 266
+_PLANAR_CONFIG = 284
+
+# byte → bit-reversed byte, for FillOrder=2 (LSB-first) strips
+_BITREV = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
@@ -296,93 +306,184 @@ def _read_t4_run(data: bytes, nbits: int, p: int,
             return total, p
 
 
-def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
-    """T.6 (Group 4) bitstream → (h, w) uint8 with 1 = black — the
-    dominant archival bilevel compression. Pure 2-D coding: each row is
-    coded against the previous row's colour-change positions via
-    vertical/pass/horizontal modes; the imaginary line above row 0 is all
-    white. The reference-line cursor advances monotonically with a0, so
+def _ccitt_2d_row(data: bytes, nbits: int, pos: int, ref: list[int],
+                  w: int) -> tuple[list[int], int]:
+    """One 2-D-coded row (shared by T.6/G4 and T.4 2-D/G3): decode the
+    vertical/pass/horizontal modes against the reference line's
+    colour-change positions → (this row's change positions, new bit
+    pos). The reference-line cursor advances monotonically with a0, so
     a row decodes in O(changes) — a halftone region with 10³ changes per
     row stays linear, not quadratic."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    ri = 0     # first ref index with ref[ri] > a0 (monotone in a0)
+    while a0 < w:
+        while ref[ri] <= a0:
+            ri += 1
+        # b1: first change > a0 whose index parity matches the colour
+        # (even = white→black); changes strictly increase, so at most
+        # one step right fixes the parity
+        bi = ri if ri % 2 == color else ri + 1
+        b1 = ref[bi]
+        b2 = ref[bi + 1]
+        win = _peek_bits(data, nbits, pos, 7)
+        if win.startswith("1"):            # V0
+            pos += 1
+            a1 = b1
+        elif win.startswith("011"):        # VR1
+            pos += 3
+            a1 = b1 + 1
+        elif win.startswith("000011"):     # VR2
+            pos += 6
+            a1 = b1 + 2
+        elif win.startswith("0000011"):    # VR3
+            pos += 7
+            a1 = b1 + 3
+        elif win.startswith("010"):        # VL1
+            pos += 3
+            a1 = b1 - 1
+        elif win.startswith("000010"):     # VL2
+            pos += 6
+            a1 = b1 - 2
+        elif win.startswith("0000010"):    # VL3
+            pos += 7
+            a1 = b1 - 3
+        elif win.startswith("0001"):       # pass
+            pos += 4
+            a0 = b2
+            continue
+        elif win.startswith("001"):        # horizontal: two T.4 runs
+            pos += 3
+            first = _G4_WHITE if color == 0 else _G4_BLACK
+            second = _G4_BLACK if color == 0 else _G4_WHITE
+            r1, pos = _read_t4_run(data, nbits, pos, first)
+            r2, pos = _read_t4_run(data, nbits, pos, second)
+            start = a0 if a0 > 0 else 0
+            a1, a2 = start + r1, start + r1 + r2
+            if a2 > w:
+                raise ValueError("G4 horizontal run overflows row")
+            cur.extend((a1, a2))
+            a0 = a2
+            continue
+        else:
+            raise ValueError("bad G4 mode code")
+        # coding elements move strictly rightward (T.6): a crafted
+        # pass-then-VL sequence could otherwise step left past a0 and
+        # decode silent garbage instead of quarantining
+        if a1 > w or a1 <= a0:
+            raise ValueError("G4 vertical move out of range")
+        cur.append(a1)
+        color ^= 1
+        a0 = a1
+    return cur, pos
+
+
+def _paint_row(out: np.ndarray, y: int, cur: list[int], w: int) -> None:
+    """Change positions → pixels: odd-indexed spans are black."""
+    col = 0
+    prev = 0
+    for pxy in cur:
+        if col:
+            out[y, prev:min(pxy, w)] = 1
+        prev = pxy
+        col ^= 1
+    if col:
+        out[y, prev:w] = 1
+
+
+def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """T.6 (Group 4) bitstream → (h, w) uint8 with 1 = black — the
+    dominant archival bilevel compression. Pure 2-D coding: every row is
+    coded against the previous row's colour-change positions; the
+    imaginary line above row 0 is all white."""
     nbits = len(data) * 8
     pos = 0
     ref = [w, w, w, w]
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        ri = 0     # first ref index with ref[ri] > a0 (monotone in a0)
-        while a0 < w:
-            while ref[ri] <= a0:
-                ri += 1
-            # b1: first change > a0 whose index parity matches the colour
-            # (even = white→black); changes strictly increase, so at most
-            # one step right fixes the parity
-            bi = ri if ri % 2 == color else ri + 1
-            b1 = ref[bi]
-            b2 = ref[bi + 1]
-            win = _peek_bits(data, nbits, pos, 7)
-            if win.startswith("1"):            # V0
-                pos += 1
-                a1 = b1
-            elif win.startswith("011"):        # VR1
-                pos += 3
-                a1 = b1 + 1
-            elif win.startswith("000011"):     # VR2
-                pos += 6
-                a1 = b1 + 2
-            elif win.startswith("0000011"):    # VR3
-                pos += 7
-                a1 = b1 + 3
-            elif win.startswith("010"):        # VL1
-                pos += 3
-                a1 = b1 - 1
-            elif win.startswith("000010"):     # VL2
-                pos += 6
-                a1 = b1 - 2
-            elif win.startswith("0000010"):    # VL3
-                pos += 7
-                a1 = b1 - 3
-            elif win.startswith("0001"):       # pass
-                pos += 4
-                a0 = b2
-                continue
-            elif win.startswith("001"):        # horizontal: two T.4 runs
-                pos += 3
-                first = _G4_WHITE if color == 0 else _G4_BLACK
-                second = _G4_BLACK if color == 0 else _G4_WHITE
-                r1, pos = _read_t4_run(data, nbits, pos, first)
-                r2, pos = _read_t4_run(data, nbits, pos, second)
-                start = a0 if a0 > 0 else 0
-                a1, a2 = start + r1, start + r1 + r2
-                if a2 > w:
-                    raise ValueError("G4 horizontal run overflows row")
-                cur.extend((a1, a2))
-                a0 = a2
-                continue
-            else:
-                raise ValueError("bad G4 mode code")
-            # coding elements move strictly rightward (T.6): a crafted
-            # pass-then-VL sequence could otherwise step left past a0 and
-            # decode silent garbage instead of quarantining
-            if a1 > w or a1 <= a0:
-                raise ValueError("G4 vertical move out of range")
-            cur.append(a1)
-            color ^= 1
-            a0 = a1
-        # change positions → pixels: odd-indexed spans are black
-        col = 0
-        prev = 0
-        for pxy in cur:
-            if col:
-                out[y, prev:min(pxy, w)] = 1
-            prev = pxy
-            col ^= 1
-        if col:
-            out[y, prev:w] = 1
+        cur, pos = _ccitt_2d_row(data, nbits, pos, ref, w)
+        _paint_row(out, y, cur, w)
         ref = cur + [w, w, w, w]
     return out
+
+
+def _t4_1d_row(data: bytes, nbits: int, pos: int,
+               w: int) -> tuple[list[int], int]:
+    """One 1-D (MH) coded row → (change positions, new bit pos):
+    alternating white/black T.4 runs starting white; only the leading
+    white run may be zero-length (a row that starts black)."""
+    cur: list[int] = []
+    x = 0
+    color = 0
+    first = True
+    while x < w:
+        codes = _G4_WHITE if color == 0 else _G4_BLACK
+        run, pos = _read_t4_run(data, nbits, pos, codes)
+        if run == 0 and not first:
+            raise ValueError("zero-length mid-row T.4 run")
+        first = False
+        if x + run > w:
+            raise ValueError("T.4 run overflows row")
+        x += run
+        cur.append(x)
+        color ^= 1
+    return cur, pos
+
+
+def _find_eol(data: bytes, nbits: int, pos: int) -> int | None:
+    """Consume fill bits + one T.4 EOL (≥11 zero bits then a 1) at
+    ``pos`` → position after the EOL, or None if the bits at ``pos`` are
+    not fill+EOL. No valid T.4/T.6 code has ≥8 leading zeros, so ≥11
+    zeros-then-1 identifies EOL unambiguously (that is WHY EOL is 11
+    zeros — T.4 §4.1.2)."""
+    zeros = 0
+    q = pos
+    while q < nbits and not (data[q >> 3] >> (7 - (q & 7))) & 1:
+        zeros += 1
+        q += 1
+    if q < nbits and zeros >= 11:
+        return q + 1
+    return None
+
+
+def _g3_decode(data: bytes, w: int, h: int,
+               two_dim: bool = False) -> np.ndarray:
+    """T.4 (Group 3) bitstream → (h, w) uint8 with 1 = black — the
+    fax-era coding (TIFF Compression=3). Every row is preceded by an EOL
+    sync code (fill bits before it cover the T4Options byte-align
+    variant); in 2-D mode (T4Options bit 0) a tag bit after each EOL
+    says whether the next row is 1-D (MH runs) or 2-D (the shared
+    vertical/pass/horizontal machinery against the previous row). A
+    missing EOL is tolerated only before row 0 (common in the wild);
+    that row is then necessarily 1-D."""
+    nbits = len(data) * 8
+    pos = 0
+    ref = [w, w, w, w]
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        after = _find_eol(data, nbits, pos)
+        if after is None:
+            if y != 0:
+                raise ValueError("G3 row missing EOL")
+            one_d = True  # headerless first row is 1-D by construction
+        else:
+            pos = after
+            if two_dim:
+                if pos >= nbits:
+                    raise ValueError("truncated G3 stream")
+                one_d = bool((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+                pos += 1
+            else:
+                one_d = True
+        if one_d:
+            cur, pos = _t4_1d_row(data, nbits, pos, w)
+        else:
+            cur, pos = _ccitt_2d_row(data, nbits, pos, ref, w)
+        _paint_row(out, y, cur, w)
+        ref = cur + [w, w, w, w]
+    return out
+
 
 
 def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
@@ -474,16 +575,31 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
                                        or spp not in (1, 3)):
         raise ValueError(f"unsupported TIFF (bits={bits} samples={spp}); "
                          "8/16-bit gray, 8-bit RGB, or 1-bit bilevel only")
+    if one(_PLANAR_CONFIG, 1) != 1:
+        raise ValueError("unsupported TIFF PlanarConfiguration (chunky "
+                         "only)")
+    fill_order = one(_FILL_ORDER, 1)
+    if fill_order not in (1, 2):
+        raise ValueError(f"invalid TIFF FillOrder {fill_order}")
     compression = one(_COMPRESSION, 1)
-    if compression not in (1, 2, 4, 5, 32773):
+    if compression not in (1, 2, 3, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}; "
-                         "uncompressed/MH/G4/LZW/PackBits only")
-    if compression in (2, 4):
+                         "uncompressed/MH/G3/G4/LZW/PackBits only")
+    if fill_order == 2 and not (bilevel or compression in (2, 3, 4)):
+        # LSB-first bit packing only makes sense for bit-serial data —
+        # on 8/16-bit samples it would scramble every byte silently
+        raise ValueError("TIFF FillOrder=2 on multi-bit samples "
+                         "unsupported")
+    if compression in (2, 3, 4):
         if not bilevel:
             raise ValueError(
                 "TIFF CCITT compression requires 1-bit data")
         if compression == 4 and one(_T6_OPTIONS, 0) != 0:
             raise ValueError("unsupported TIFF T6Options")
+        if compression == 3:
+            t4 = one(_T4_OPTIONS, 0)
+            if t4 & ~0x5:  # bit0 = 2-D, bit2 = byte-aligned EOLs
+                raise ValueError(f"unsupported TIFF T4Options {t4}")
     predictor = one(_PREDICTOR, 1)
     if predictor not in (1, 2) or (predictor == 2 and bilevel):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -507,18 +623,28 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
     row_bytes = (-(-w // 8)) if bilevel else w * spp * (2 if gray16 else 1)
     out = bytearray()
     remaining_rows = h
+    t4_opts = one(_T4_OPTIONS, 0) if compression == 3 else 0
     for off, cnt in zip(offsets, counts):
         strip = data[off:off + cnt]
         if len(strip) != cnt:
             raise ValueError("truncated TIFF strip")
+        if fill_order == 2:
+            # LSB-first within each byte → reverse to the MSB-first order
+            # every decoder below assumes (TIFF 6.0 tag 266)
+            strip = strip.translate(_BITREV)
         n_rows = min(rows_per_strip, remaining_rows)
         expected = n_rows * row_bytes
         if compression == 32773:
             out += _unpackbits_decode(strip, expected)
-        elif compression in (2, 4):
+        elif compression in (2, 3, 4):
             # decode to 1 bit per pixel, repacked to the row-padded layout
-            dec = _g4_decode if compression == 4 else _mh_decode
-            bits01 = dec(strip, w, n_rows)
+            if compression == 4:
+                bits01 = _g4_decode(strip, w, n_rows)
+            elif compression == 3:
+                bits01 = _g3_decode(strip, w, n_rows,
+                                    two_dim=bool(t4_opts & 1))
+            else:
+                bits01 = _mh_decode(strip, w, n_rows)
             out += np.packbits(bits01, axis=1).tobytes()
         elif compression == 5:
             out += _lzw_decode(strip, expected)

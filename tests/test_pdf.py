@@ -281,3 +281,50 @@ def test_segment_scans_job_resumes(spark, tmp_path):
         {f"page-{i}" for i in range(12)}
     lineage = spark.read.parquet(lin)
     assert lineage.agg({"n_urls": "sum"}).first()[0] == 12
+
+
+def _splice_image_dict(pdf: bytes, extra: bytes) -> bytes:
+    """Insert ``extra`` into the page-image XObject's dict (object 4)
+    and rebuild the xref (offsets shift)."""
+    body = pdf[:pdf.index(b"xref\n0 ")]
+    at = body.index(b"/Subtype /Image")
+    body = body[:at] + extra + b" " + body[at:]
+    return _rebuild_xref(body)
+
+
+def test_decode_array_and_masks_quarantine():
+    """/Decode [1 0] would silently invert polarity, /ImageMask is a
+    stencil, /SMask drops alpha — all must raise, not mis-decode
+    (ADVICE r4). The DEFAULT /Decode [0 1] must still decode."""
+    img = _gradient(24, 40)
+    pdf = encode_pdf_gray(img, codec="flate")
+    with pytest.raises(ValueError, match="/Decode"):
+        decode_pdf_page_image(_splice_image_dict(pdf, b"/Decode [1 0]"))
+    with pytest.raises(ValueError, match="ImageMask"):
+        decode_pdf_page_image(_splice_image_dict(pdf, b"/ImageMask true"))
+    with pytest.raises(ValueError, match="SMask"):
+        decode_pdf_page_image(_splice_image_dict(pdf, b"/SMask 9 0 R"))
+    # explicit default Decode is fine (and floats compare equal to ints)
+    ok = _splice_image_dict(pdf, b"/Decode [0.0 1.0]")
+    assert (decode_pdf_page_image(ok) == img).all()
+    # DCT arm enforces the same contract
+    pdfj = encode_pdf_gray(img, codec="jpeg")
+    with pytest.raises(ValueError, match="/Decode"):
+        decode_pdf_page_image(_splice_image_dict(pdfj, b"/Decode [1 0]"))
+
+
+def test_incremental_update_frees_object():
+    """An incremental-update xref section that marks an object free must
+    shadow the older section's 'n' entry — the freed object stays
+    deleted instead of being resurrected from its stale offset
+    (ADVICE r4)."""
+    img = _gradient(24, 40)
+    pdf = encode_pdf_gray(img, codec="flate")
+    assert (decode_pdf_page_image(pdf) == img).all()
+    orig_xref_at = pdf.index(b"xref\n0 ")
+    upd = (pdf + b"xref\n4 1\n0000000000 65535 f \n"
+           + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+           + str(orig_xref_at).encode() + b" >>\nstartxref\n"
+           + str(len(pdf)).encode() + b"\n%%EOF\n")
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(upd)

@@ -158,7 +158,7 @@ def test_tiff_raster_leg_geometry_parity(spark):
 
 
 def _simple_tiff(pixels: bytes, w, h, *, bits=8, spp=1, compression=1,
-                photometric=1, predictor=None, bo="<"):
+                photometric=1, predictor=None, bo="<", extra=()):
     """Hand-build a single-strip TIFF with arbitrary tag values."""
     strip_off = 8
     ifd_off = strip_off + len(pixels)
@@ -166,6 +166,7 @@ def _simple_tiff(pixels: bytes, w, h, *, bits=8, spp=1, compression=1,
                (259, 3, 1, compression), (262, 3, 1, photometric),
                (273, 4, 1, strip_off), (277, 3, 1, spp),
                (278, 3, 1, h), (279, 4, 1, len(pixels))]
+    entries.extend(extra)
     if predictor is not None:
         entries.append((317, 3, 1, predictor))
     entries.sort()
@@ -251,69 +252,123 @@ def test_16bit_gray_high_byte_both_orders():
     assert (decode_tiff_gray(data) == hi).all()
 
 
-def _g4_encode(img01: np.ndarray, w: int) -> bytes:
-    """Test-local T.6 encoder (vertical/pass/horizontal modes + T.4 run
-    tables imported from the codec — the decoder's own alphabet)."""
+def _t4_tables():
     from norsk_historisk_avis_ocr_spark.stages.tiff import (
         _BLACK_MAKEUP, _BLACK_TERM, _EXT_MAKEUP, _WHITE_MAKEUP, _WHITE_TERM,
     )
+    return _WHITE_TERM, _WHITE_MAKEUP, _BLACK_TERM, _BLACK_MAKEUP, \
+        _EXT_MAKEUP
+
+
+def _emit_run(bits, run, term, makeup, ext):
+    while run >= 64:
+        best = max(k for k in list(makeup) + list(ext) if 64 <= k <= run)
+        bits.append(makeup.get(best) or ext[best])
+        run -= best
+    bits.append(term[run])
+
+
+def _row_changes(row, w):
+    ch = []
+    prev = 0
+    for x in range(w):
+        if row[x] != prev:
+            ch.append(x)
+            prev = row[x]
+    return ch
+
+
+def _encode_2d_row(bits, cur, ref, w):
+    """2-D (vertical/pass/horizontal) coding of one row's change list
+    against the reference line's — shared by the G4 and G3-2D test
+    encoders."""
+    wt, wm, bt, bm, ext = _t4_tables()
+    a0, color = -1, 0
+    while a0 < w:
+        a1 = next((p for p in cur if p > a0), w)
+        b1 = w
+        for idx, p in enumerate(ref):
+            if p > a0 and idx % 2 == color:
+                b1 = p
+                break
+        b2 = next((p for p in ref if p > b1), w)
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                         -1: "010", -2: "000010", -3: "0000010"}[d])
+            a0 = a1
+            color ^= 1
+            continue
+        a2 = next((p for p in cur if p > a1), w)
+        start = a0 if a0 > 0 else 0
+        bits.append("001")
+        if color == 0:
+            _emit_run(bits, a1 - start, wt, wm, ext)
+            _emit_run(bits, a2 - a1, bt, bm, ext)
+        else:
+            _emit_run(bits, a1 - start, bt, bm, ext)
+            _emit_run(bits, a2 - a1, wt, wm, ext)
+        a0 = a2
+
+
+def _encode_1d_row(bits, row, w):
+    """MH (1-D) coding of one pixel row: alternating white/black T.4
+    runs starting white."""
+    wt, wm, bt, bm, ext = _t4_tables()
+    x, color = 0, 0
+    while x < w:
+        run = 0
+        while x + run < w and row[x + run] == color:
+            run += 1
+        _emit_run(bits, run, wt if color == 0 else bt,
+                  wm if color == 0 else bm, ext)
+        x += run
+        color ^= 1
+
+
+def _g4_encode(img01: np.ndarray, w: int) -> bytes:
+    """Test-local T.6 encoder (vertical/pass/horizontal modes + T.4 run
+    tables imported from the codec — the decoder's own alphabet)."""
     bits: list[str] = []
-
-    def emit_run(run, term, makeup):
-        while run >= 64:
-            best = max(k for k in list(makeup) + list(_EXT_MAKEUP)
-                       if 64 <= k <= run)
-            bits.append(makeup.get(best) or _EXT_MAKEUP[best])
-            run -= best
-        bits.append(term[run])
-
-    def changes(row):
-        ch = []
-        prev = 0
-        for x in range(w):
-            if row[x] != prev:
-                ch.append(x)
-                prev = row[x]
-        return ch
-
     ref = [w, w]
     for row in img01:
-        cur = changes(row)
-        a0, color = -1, 0
-        while a0 < w:
-            a1 = next((p for p in cur if p > a0), w)
-            b1 = w
-            for idx, p in enumerate(ref):
-                if p > a0 and idx % 2 == color:
-                    b1 = p
-                    break
-            b2 = next((p for p in ref if p > b1), w)
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                             -1: "010", -2: "000010", -3: "0000010"}[d])
-                a0 = a1
-                color ^= 1
-                continue
-            a2 = next((p for p in cur if p > a1), w)
-            start = a0 if a0 > 0 else 0
-            bits.append("001")
-            if color == 0:
-                emit_run(a1 - start, _WHITE_TERM, _WHITE_MAKEUP)
-                emit_run(a2 - a1, _BLACK_TERM, _BLACK_MAKEUP)
-            else:
-                emit_run(a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
-                emit_run(a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
-            a0 = a2
+        cur = _row_changes(row, w)
+        _encode_2d_row(bits, cur, ref, w)
         ref = cur + [w, w]
     bits.append("000000000001000000000001")  # EOFB
-    s = "".join(bits)
-    s += "0" * ((-len(s)) % 8)
-    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+    return _pack_bitstring("".join(bits))
+
+
+def _g3_encode(img01: np.ndarray, w: int, *, two_dim=False,
+               byte_align=False, leading_eol=True, k=4) -> bytes:
+    """Test-local T.4 (Group 3) encoder: EOL before every row (optional
+    fill bits for the byte-aligned variant), 1-D MH rows, and in 2-D
+    mode a tag bit after each EOL with a 1-D row every ``k`` rows."""
+    bits: list[str] = []
+    ref = [w, w]
+    for y, row in enumerate(img01):
+        if y > 0 or leading_eol:
+            if byte_align:
+                n = sum(len(b) for b in bits)
+                bits.append("0" * ((-(n + 12)) % 8))
+            bits.append("000000000001")  # EOL
+            emit_tag = True
+        else:
+            emit_tag = False  # headerless first row: no EOL, no tag
+        one_d = (not two_dim) or y % k == 0 or not emit_tag
+        if two_dim and emit_tag:
+            bits.append("1" if one_d else "0")
+        cur = _row_changes(row, w)
+        if one_d:
+            _encode_1d_row(bits, row, w)
+        else:
+            _encode_2d_row(bits, cur, ref, w)
+        ref = cur + [w, w]
+    return _pack_bitstring("".join(bits))
 
 
 def test_g4_bilevel_roundtrips():
@@ -479,3 +534,105 @@ def test_g4_halftone_row_performance():
     dt = time.time() - t0
     assert (out == img01).all()
     assert dt < 2.0, f"halftone decode too slow: {dt:.2f}s"
+
+
+def test_g3_1d_roundtrip_with_and_without_leading_eol():
+    """CCITT Group 3 1-D (Compression=3, T4Options=0): EOL-synced MH
+    rows roundtrip exactly; a stream whose writer omitted the leading
+    EOL (common in the wild) also decodes."""
+    rng = np.random.default_rng(9)
+    img01 = rng.integers(0, 2, size=(9, 77)).astype(np.uint8)
+    img01[2] = 0
+    img01[5] = 1  # starts black -> leading zero-length white run
+    for leading in (True, False):
+        payload = _g3_encode(img01, 77, leading_eol=leading)
+        data = _simple_tiff(payload, 77, 9, bits=1, compression=3,
+                            photometric=0)
+        assert (decode_tiff_gray(data) == (1 - img01) * 255).all(), leading
+
+
+def test_g3_byte_aligned_eols():
+    """T4Options bit 2 (byte-aligned EOLs): fill bits before each EOL
+    are consumed transparently."""
+    rng = np.random.default_rng(10)
+    img01 = rng.integers(0, 2, size=(6, 100)).astype(np.uint8)
+    payload = _g3_encode(img01, 100, byte_align=True)
+    data = _simple_tiff(payload, 100, 6, bits=1, compression=3,
+                        photometric=0, extra=[(292, 4, 1, 4)])
+    assert (decode_tiff_gray(data) == (1 - img01) * 255).all()
+
+
+def test_g3_2d_roundtrip():
+    """T4Options bit 0 (2-D coding): tag bits select 1-D/2-D per row;
+    2-D rows reuse the shared vertical/pass/horizontal machinery."""
+    rng = np.random.default_rng(11)
+    cases = [rng.integers(0, 2, size=(11, 64)).astype(np.uint8),
+             (np.indices((8, 200)).sum(axis=0) % 7 < 3).astype(np.uint8)]
+    for img01 in cases:
+        h, w = img01.shape
+        payload = _g3_encode(img01, w, two_dim=True, k=4)
+        data = _simple_tiff(payload, w, h, bits=1, compression=3,
+                            photometric=0, extra=[(292, 4, 1, 1)])
+        assert (decode_tiff_gray(data) == (1 - img01) * 255).all()
+    # 2-D + byte-aligned EOLs together (T4Options = 5)
+    img01 = cases[0]
+    payload = _g3_encode(img01, 64, two_dim=True, byte_align=True)
+    data = _simple_tiff(payload, 64, 11, bits=1, compression=3,
+                        photometric=0, extra=[(292, 4, 1, 5)])
+    assert (decode_tiff_gray(data) == (1 - img01) * 255).all()
+
+
+def test_g3_malformed_is_loud():
+    img01 = np.ones((5, 40), dtype=np.uint8)
+    good = _g3_encode(img01, 40)
+    # truncated stream / garbage must raise, not mis-decode
+    for broken in (good[:3], bytes([0x00] * 10)):
+        with pytest.raises(ValueError):
+            decode_tiff_gray(_simple_tiff(broken, 40, 5, bits=1,
+                                          compression=3))
+    # uncompressed-mode T4Options (bit 1) is unsupported -> loud
+    with pytest.raises(ValueError, match="T4Options"):
+        decode_tiff_gray(_simple_tiff(good, 40, 5, bits=1, compression=3,
+                                      extra=[(292, 4, 1, 2)]))
+    # G3 on 8-bit data is contradictory
+    with pytest.raises(ValueError, match="1-bit"):
+        decode_tiff_gray(_simple_tiff(b"\x00" * 16, 4, 4, bits=8,
+                                      compression=3))
+
+
+def test_fillorder2_bit_reversal():
+    """FillOrder=2 (LSB-first, fax-origin archives): every strip byte is
+    bit-reversed before decode — G3/G4/MH and raw bilevel all supported;
+    multi-bit samples with FillOrder=2 quarantine loudly."""
+    rng = np.random.default_rng(12)
+    img01 = rng.integers(0, 2, size=(7, 50)).astype(np.uint8)
+    rev = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+    for comp, enc in ((3, lambda: _g3_encode(img01, 50)),
+                      (4, lambda: _g4_encode(img01, 50))):
+        payload = enc().translate(rev)  # LSB-first stream
+        data = _simple_tiff(payload, 50, 7, bits=1, compression=comp,
+                            photometric=0, extra=[(266, 3, 1, 2)])
+        assert (decode_tiff_gray(data) == (1 - img01) * 255).all(), comp
+    # raw (uncompressed) bilevel with FillOrder=2
+    row_bytes = -(-50 // 8)
+    packed = np.packbits(
+        np.pad(img01, ((0, 0), (0, row_bytes * 8 - 50))), axis=1).tobytes()
+    data = _simple_tiff(packed.translate(rev), 50, 7, bits=1,
+                        photometric=1, extra=[(266, 3, 1, 2)])
+    assert (decode_tiff_gray(data) == img01 * 255).all()
+    # FillOrder=2 on 8-bit samples would scramble bytes -> loud
+    with pytest.raises(ValueError, match="FillOrder"):
+        decode_tiff_gray(_simple_tiff(b"\x00" * 16, 4, 4,
+                                      extra=[(266, 3, 1, 2)]))
+    with pytest.raises(ValueError, match="FillOrder"):
+        decode_tiff_gray(_simple_tiff(b"\x00" * 16, 4, 4,
+                                      extra=[(266, 3, 1, 3)]))
+
+
+def test_planar_configuration_raises_explicitly():
+    """PlanarConfiguration=2 (planar) is out of scope and must say so
+    (review r4: it previously failed only incidentally)."""
+    with pytest.raises(ValueError, match="PlanarConfiguration"):
+        decode_tiff_gray(_simple_tiff(b"\x00" * 48, 4, 4, spp=3,
+                                      photometric=2,
+                                      extra=[(284, 3, 1, 2)]))
