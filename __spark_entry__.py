@@ -396,8 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PRIMARY input format (``ocr.py:25``; poppler rasterization at
         ``engines/tesseract_engine.py:133-142``). Pages arrive as one-page
         PDFs whose image XObject alternates DCTDecode (even doc_ids) and
-        FlateDecode+PNG-predictor (odd), decoded by the in-tree
-        ``stages/pdf.py`` inside ``segment_image_pages`` and verified
+        FlateDecode+PNG-predictor (odd), and whose cross-reference
+        layout alternates classic tables vs PDF 1.5 xref streams with
+        /ObjStm-packed graphs (doc_id % 4 — new r5), decoded by the
+        in-tree ``stages/pdf.py`` inside ``segment_image_pages`` and
+        verified
         against the reference's ``_split_columns`` executed on the SAME
         decoded pixels — exact by construction for both arms (the flate
         arm is lossless; the DCT arm re-derives the identical JPEG

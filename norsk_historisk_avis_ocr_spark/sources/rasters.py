@@ -182,8 +182,12 @@ def pdf_pages_df(spark: SparkSession, sf_dir: str,
     page image alternates deterministically between the two scan payload
     classes: DCTDecode (embedded baseline JPEG) for even doc_ids and
     FlateDecode with PNG predictors for odd ones, so one contract leg
-    exercises both branches of ``stages/pdf.py``. Dims follow the JPEG
-    leg (entropy decode is the slow path; see CLAUDE.md)."""
+    exercises both branches of ``stages/pdf.py``. The cross-reference
+    layout ALSO alternates (doc_id % 4): classic xref tables vs PDF 1.5
+    xref streams with /ObjStm-packed object graphs (predicted xref rows
+    on the flate arm) — the modern layout poppler reads for the
+    reference. Dims follow the JPEG leg (entropy decode is the slow
+    path; see CLAUDE.md)."""
     from ..stages.pdf import encode_pdf_gray
 
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -200,11 +204,18 @@ def pdf_pages_df(spark: SparkSession, sf_dir: str,
                 pid = f"page-{int(doc_id)}"
                 arr = synth_page_array(pid, width=width, height=height)
                 codec = "jpeg" if int(doc_id) % 2 == 0 else "flate"
+                # doc_id % 4: 0 jpeg+classic, 1 flate+xrefstream/objstm
+                # (predicted rows), 2 jpeg+xrefstream/objstm, 3
+                # flate+classic — both codec arms ride both xref layouts
+                modern = int(doc_id) % 4 in (1, 2)
                 # restart lanes let the DCT arm ride the lockstep decoder
                 rows.append({"page_id": pid,
-                             "png": encode_pdf_gray(arr, codec=codec,
-                                                    quality=quality,
-                                                    restart_interval=2),
+                             "png": encode_pdf_gray(
+                                 arr, codec=codec, quality=quality,
+                                 restart_interval=2,
+                                 xref="stream" if modern else "table",
+                                 objstm=modern,
+                                 xref_predictor=int(doc_id) % 4 == 1),
                              "width": arr.shape[1], "height": arr.shape[0]})
             yield pd.DataFrame(rows)
 

@@ -4,19 +4,21 @@ The reference's first-listed input format is ``.pdf`` (``ocr.py:25``); its
 engines rasterize pages via poppler (``engines/tesseract_engine.py:
 133-142``, ``engines/claude_vision_engine.py:285-294``). This container
 has no poppler/PIL, so — like ``stages/png.py`` and ``stages/jpeg.py`` —
-the raster path ships its own minimal parser: classic xref table →
-trailer ``/Root`` → ``/Pages`` tree → first page → largest image XObject
-→ ``DCTDecode`` (``stages/jpeg.py``) or ``FlateDecode`` with optional PNG
-predictors (the ``stages/png.py`` defilter path).
+the raster path ships its own minimal parser: cross-reference index
+(classic tables, PDF 1.5+ xref STREAMS with /W-packed type-0/1/2
+entries, hybrid /XRefStm files, and /ObjStm compressed-object
+containers) → trailer ``/Root`` → ``/Pages`` tree → page → largest
+image XObject → ``DCTDecode`` (``stages/jpeg.py``) or ``FlateDecode``
+with optional PNG predictors (the ``stages/png.py`` defilter path).
 
 This is deliberately NOT a general PDF renderer: no content-stream
 interpretation, no fonts, no vector graphics. Scanned-newspaper PDFs are
 one full-page image per page, and that image is exactly what the
 reference OCRs — extracting it IS the reference's page decode. Anything
-outside that shape (xref/object streams, encryption, unsupported filters
-or color spaces, multi-filter chains) raises ``ValueError`` so callers
-can quarantine rather than mis-decode — the same loud-failure contract as
-the other codecs.
+outside that shape (encryption, unsupported filters or color spaces,
+non-default /Decode remaps, image masks) raises ``ValueError`` so
+callers can quarantine rather than mis-decode — the same loud-failure
+contract as the other codecs.
 """
 
 from __future__ import annotations
@@ -136,10 +138,117 @@ class _Name(str):
     values are distinguishable from parsed strings."""
 
 
-def _parse_xref(data: bytes) -> tuple[dict[int, int], dict]:
-    """Classic xref table(s) → ({obj_num: offset}, trailer dict). Follows
-    ``/Prev`` chains (earlier sections never override later ones). Xref
-    *streams* (PDF 1.5 cross-reference streams) raise — quarantine."""
+def _asciihex_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 7.4.2): hex digits, whitespace ignored, '>'
+    EOD, odd final digit padded with 0."""
+    body = raw.split(b">", 1)[0].translate(None, _WS)
+    if not re.fullmatch(rb"[0-9a-fA-F]*", body):
+        raise ValueError("invalid PDF ASCIIHex data")
+    if len(body) % 2:
+        body += b"0"
+    return bytes.fromhex(body.decode("ascii"))
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode (PDF 7.4.3): base-85 groups with 'z' shorthand,
+    whitespace ignored, '~>' EOD (the leading '<~' Adobe frame is not
+    part of PDF streams)."""
+    import base64
+    body = raw.split(b"~>", 1)[0].translate(None, _WS)
+    try:
+        return base64.a85decode(body)
+    except ValueError as exc:
+        raise ValueError(f"invalid PDF ASCII85 data: {exc}") from exc
+
+
+def _defilter_predicted(out: bytes, predictor, columns) -> bytes:
+    """Apply the optional predictor of an xref/object-stream /DecodeParms
+    to already-inflated bytes: PNG predictors (10-15) via the shared
+    ``stages/png.py`` defilter — each row is a filter-type byte plus
+    ``columns`` data bytes, exactly the PNG row shape."""
+    if not isinstance(predictor, int) or not isinstance(columns, int):
+        raise ValueError("PDF stream DecodeParms values are not integers")
+    if predictor == 1:
+        return out
+    if predictor >= 10:
+        from .png import _defilter
+        if columns <= 0 or len(out) % (columns + 1):
+            raise ValueError("PDF predicted stream length mismatch")
+        h = len(out) // (columns + 1)
+        return _defilter(out, h, columns, 1).tobytes()
+    raise ValueError(f"unsupported PDF stream predictor {predictor}")
+
+
+def _inflate_stream(d: dict, raw: bytes, deref,
+                    default_columns: int) -> bytes:
+    """FlateDecode (or no filter) + optional predictor for the metadata
+    streams this parser reads itself (xref streams, object streams).
+    Anything else — other filters, filter arrays — raises."""
+    filt = deref(d.get("Filter"))
+    if isinstance(filt, list):
+        filt = [deref(f) for f in filt]
+        if len(filt) != 1:
+            raise ValueError("PDF multi-filter metadata streams "
+                             "unsupported")
+        filt = filt[0]
+    filt = str(filt) if filt is not None else None
+    if filt is None:
+        return raw
+    if filt != "FlateDecode":
+        raise ValueError(f"unsupported PDF metadata stream filter {filt}")
+    try:
+        out = zlib.decompress(raw)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PDF Flate stream: {exc}") from exc
+    parms = deref(d.get("DecodeParms"))
+    if isinstance(parms, list):
+        parms = deref(parms[0]) if parms else None
+    if isinstance(parms, dict):
+        return _defilter_predicted(
+            out, deref(parms.get("Predictor", 1)),
+            deref(parms.get("Columns", default_columns)))
+    return out
+
+
+def _parse_stream_obj_at(data: bytes, offset: int) -> tuple[dict, bytes]:
+    """Parse the indirect stream object at a byte offset WITHOUT an xref
+    map (the bootstrap read for cross-reference streams, which must be
+    locatable before any object lookup works). /Length must therefore be
+    a direct integer here — true of every xref-stream writer, since the
+    length is needed to find the trailer at parse time."""
+    m = _OBJ_RE.match(data, _skip_ws(data, offset))
+    if not m:
+        raise ValueError("PDF xref offset does not point at an object")
+    d, i = _parse_object(data, m.end())
+    if not isinstance(d, dict):
+        raise ValueError("PDF xref stream object is not a stream")
+    i = _skip_ws(data, i)
+    if not data.startswith(b"stream", i):
+        raise ValueError("PDF xref stream object carries no stream")
+    i += len(b"stream")
+    if data.startswith(b"\r\n", i):
+        i += 2
+    elif data.startswith(b"\n", i):
+        i += 1
+    length = d.get("Length")
+    if not isinstance(length, int) or length < 0:
+        raise ValueError("PDF xref stream /Length must be a direct "
+                         "integer")
+    raw = data[i:i + length]
+    if len(raw) != length:
+        raise ValueError("PDF xref stream truncated")
+    return d, raw
+
+
+# object location: ("file", byte_offset) or ("objstm", stream_num, index)
+def _parse_xref(data: bytes) -> tuple[dict[int, tuple], dict]:
+    """Cross-reference index → ({obj_num: location}, trailer dict).
+    Handles classic xref tables, PDF 1.5+ cross-reference STREAMS
+    (/Type/XRef: /W field widths, /Index subsections, type-0/1/2
+    entries), and hybrid files (classic trailer /XRefStm). Section
+    precedence is newest-first: within one update, the section's own
+    entries, then its /XRefStm, then /Prev — and a newer free entry
+    shadows an older in-use one (freed objects stay deleted)."""
     tail = data[-2048:]
     k = tail.rfind(b"startxref")
     if k < 0:
@@ -147,58 +256,120 @@ def _parse_xref(data: bytes) -> tuple[dict[int, int], dict]:
     m = _NUM_RE.search(tail, k + len(b"startxref"))
     if not m:
         raise ValueError("PDF startxref has no offset")
-    offset = int(m.group())
 
-    offsets: dict[int, int] = {}
+    offsets: dict[int, tuple] = {}
     trailer: dict = {}
-    seen = set()
-    # first-wins across sections for BOTH kinds: an object marked free
-    # ('f') in a newer incremental-update section must shadow an older
-    # section's 'n' entry, not be resurrected from its stale offset
+    seen_sections = set()
     seen_objs: set[int] = set()
-    while True:
-        if offset in seen or offset >= len(data):
-            raise ValueError("PDF xref chain is cyclic or out of range")
-        seen.add(offset)
-        i = _skip_ws(data, offset)
-        if not data.startswith(b"xref", i):
-            raise ValueError(
-                "PDF xref stream (1.5+) or damaged xref — classic tables "
-                "only")
-        i = _skip_ws(data, i + 4)
+
+    def apply(num: int, loc: tuple | None):
+        # first-wins across sections for BOTH kinds: sections are walked
+        # newest-first, so the first sighting (in-use OR free) is final
+        if num not in seen_objs:
+            seen_objs.add(num)
+            if loc is not None:
+                offsets[num] = loc
+
+    def classic_section(offset: int) -> dict:
+        i = _skip_ws(data, offset + 4)
         while not data.startswith(b"trailer", i):
-            m = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)").match(data, i)
-            if not m:
+            m2 = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)").match(data, i)
+            if not m2:
                 raise ValueError("malformed PDF xref subsection header")
-            start, count = int(m.group(1)), int(m.group(2))
-            i = _skip_ws(data, m.end())
+            start, count = int(m2.group(1)), int(m2.group(2))
+            i = _skip_ws(data, m2.end())
             for k2 in range(count):
                 ent = data[i:i + 20]
                 if len(ent) < 18:
                     raise ValueError("truncated PDF xref entry")
                 kind = ent[17:18]
-                num = start + k2
                 if kind == b"n":
-                    if num not in seen_objs:
-                        seen_objs.add(num)
-                        offsets[num] = int(ent[0:10])
+                    apply(start + k2, ("file", int(ent[0:10])))
                 elif kind == b"f":
-                    seen_objs.add(num)
+                    apply(start + k2, None)
                 else:
                     raise ValueError("malformed PDF xref entry")
                 i += 20
             i = _skip_ws(data, i)
-        t, i = _parse_object(data, i + len(b"trailer"))
+        t, _ = _parse_object(data, i + len(b"trailer"))
         if not isinstance(t, dict):
             raise ValueError("PDF trailer is not a dictionary")
+        return t
+
+    def stream_section(offset: int) -> dict:
+        d, raw = _parse_stream_obj_at(data, offset)
+        if str(d.get("Type")) != "XRef":
+            raise ValueError("PDF xref offset points at a non-XRef "
+                             "stream")
+        ws = d.get("W")
+        if (not isinstance(ws, list) or len(ws) != 3
+                or not all(isinstance(x, int) and 0 <= x <= 8
+                           for x in ws)):
+            raise ValueError("PDF xref stream /W is invalid")
+        wa, wb, wc = ws
+        row = wa + wb + wc
+        if row <= 0:
+            raise ValueError("PDF xref stream /W is empty")
+        size = d.get("Size")
+        if not isinstance(size, int) or size < 0:
+            raise ValueError("PDF xref stream /Size missing")
+        index = d.get("Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) and x >= 0 for x in index)):
+            raise ValueError("PDF xref stream /Index is invalid")
+        body = _inflate_stream(d, raw, lambda v: v, row)
+        total = sum(index[1::2])
+        if len(body) < total * row:
+            raise ValueError("PDF xref stream shorter than its /Index")
+        p = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for k2 in range(count):
+                ent = body[p:p + row]
+                p += row
+                # width-0 type field defaults to 1 (in-use) per spec
+                typ = int.from_bytes(ent[:wa], "big") if wa else 1
+                f2 = int.from_bytes(ent[wa:wa + wb], "big")
+                f3 = int.from_bytes(ent[wa + wb:row], "big")
+                num = start + k2
+                if typ == 0:
+                    apply(num, None)
+                elif typ == 1:
+                    apply(num, ("file", f2))
+                elif typ == 2:
+                    apply(num, ("objstm", f2, f3))
+                else:
+                    raise ValueError(
+                        f"unknown PDF xref stream entry type {typ}")
+        return d
+
+    def section(offset, depth):
+        nonlocal trailer
+        if depth > 64:
+            raise ValueError("PDF xref chain too deep")
+        if offset in seen_sections or not isinstance(offset, int) \
+                or not 0 <= offset < len(data):
+            raise ValueError("PDF xref chain is cyclic or out of range")
+        seen_sections.add(offset)
+        i = _skip_ws(data, offset)
+        if data.startswith(b"xref", i):
+            t = classic_section(i)
+        else:
+            t = stream_section(i)
         if not trailer:
             trailer = t
+        hybrid = t.get("XRefStm")
+        if hybrid is not None:  # hybrid file: the stream twin comes
+            if not isinstance(hybrid, int):  # before /Prev (PDF 7.5.8.4)
+                raise ValueError("PDF /XRefStm is not an integer")
+            section(hybrid, depth + 1)
         prev = t.get("Prev")
-        if prev is None:
-            break
-        if not isinstance(prev, int):  # spec: /Prev is a direct integer
-            raise ValueError("PDF trailer /Prev is not an integer")
-        offset = prev
+        if prev is not None:
+            if not isinstance(prev, int):  # spec: a direct integer
+                raise ValueError("PDF trailer /Prev is not an integer")
+            section(prev, depth + 1)
+
+    section(int(m.group()), 0)
     return offsets, trailer
 
 
@@ -211,14 +382,22 @@ class _Doc:
             raise ValueError("not a PDF (bad header)")
         self.data = data
         self.offsets, self.trailer = _parse_xref(data)
+        if self.trailer.get("Encrypt") is not None:
+            raise ValueError("encrypted PDFs unsupported")
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None:
+        loc = self.offsets.get(num)
+        if loc is None:
             raise ValueError(f"PDF object {num} not in xref")
+        if loc[0] == "objstm":
+            val = self._objstm_member(num, loc[1], loc[2])
+            self._cache[num] = val
+            return val
+        off = loc[1]
         m = _OBJ_RE.match(self.data, _skip_ws(self.data, off))
         if not m or int(m.group(1)) != num:
             raise ValueError(f"PDF xref offset for object {num} is wrong")
@@ -245,6 +424,45 @@ class _Doc:
                                  "endstream")
             val = _Stream(val, raw)
         self._cache[num] = val
+        return val
+
+    def _objstm_member(self, num: int, stm_num: int, idx: int):
+        """Object ``num`` at index ``idx`` inside object stream
+        ``stm_num`` (PDF 1.5 /ObjStm containers: FlateDecoded body is
+        /N ``objnum offset`` header pairs, then the objects themselves
+        starting at /First). Members are direct objects — a stream
+        inside an ObjStm is illegal, so no stream handling here."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            stm = self.obj(stm_num)
+            if not isinstance(stm, _Stream) \
+                    or str(stm.d.get("Type")) != "ObjStm":
+                raise ValueError(
+                    f"PDF object {num} points into non-ObjStm {stm_num}")
+            n = self.deref(stm.d.get("N"))
+            first = self.deref(stm.d.get("First"))
+            if not (isinstance(n, int) and isinstance(first, int)
+                    and n >= 0 and first >= 0):
+                raise ValueError("PDF ObjStm /N or /First invalid")
+            body = _inflate_stream(stm.d, stm.raw, self.deref, 1)
+            objs = []
+            i = 0
+            for _ in range(n):
+                onum, i = _parse_object(body, i)
+                ooff, i = _parse_object(body, i)
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise ValueError("malformed PDF ObjStm header")
+                objs.append((onum, first + ooff))
+            cached = (objs, body)
+            self._objstm_cache[stm_num] = cached
+        objs, body = cached
+        if not 0 <= idx < len(objs):
+            raise ValueError(f"PDF ObjStm index {idx} out of range")
+        onum, at = objs[idx]
+        if onum != num:
+            raise ValueError(
+                f"PDF ObjStm slot {idx} holds object {onum}, not {num}")
+        val, _ = _parse_object(body, at)
         return val
 
     def deref(self, v):
@@ -329,15 +547,44 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
                 f"non-default PDF /Decode array unsupported: {decode_arr}")
     filt = doc.deref(d.get("Filter"))
     if isinstance(filt, list):
-        if len(filt) != 1:
-            raise ValueError("PDF multi-filter image streams unsupported")
-        filt = doc.deref(filt[0])
-    filt = str(filt) if filt is not None else None
+        filters = [str(doc.deref(f)) for f in filt]
+    elif filt is not None:
+        filters = [str(filt)]
+    else:
+        filters = []
+    parms = doc.deref(d.get("DecodeParms"))
+    if isinstance(parms, list):
+        parms_list = [doc.deref(p) for p in parms]
+    else:
+        parms_list = [doc.deref(parms)] if filters else []
+    parms_list += [None] * (len(filters) - len(parms_list))
+
+    # transport prefilters (older scan exports wrap the image codec in
+    # an ASCII armor layer, e.g. [/ASCII85Decode /FlateDecode]) — apply
+    # left-to-right until only the image codec remains
+    raw_in = img.raw
+    while len(filters) > 1:
+        f0, p0 = filters.pop(0), parms_list.pop(0)
+        if p0 is not None:
+            raise ValueError(f"PDF {f0} takes no DecodeParms")
+        if f0 == "ASCIIHexDecode":
+            raw_in = _asciihex_decode(raw_in)
+        elif f0 == "ASCII85Decode":
+            raw_in = _ascii85_decode(raw_in)
+        else:
+            raise ValueError(
+                f"unsupported PDF filter chain starting with {f0}")
+    filt = filters[0] if filters else None
+    parms = parms_list[0] if parms_list else None
+    if filt == "ASCIIHexDecode":  # armor with no codec after it: raw
+        raw_in, filt = _asciihex_decode(raw_in), None
+    elif filt == "ASCII85Decode":
+        raw_in, filt = _ascii85_decode(raw_in), None
 
     if filt == "DCTDecode":
         # the embedded JPEG is self-describing — dims/components come from
         # its own SOF; the in-tree decoder quarantines what it can't do
-        out = decode_jpeg_gray(img.raw)
+        out = decode_jpeg_gray(raw_in)
         if out.shape != (h, w):
             raise ValueError("PDF /Width /Height disagree with JPEG SOF")
         return out
@@ -350,11 +597,12 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
         ncomp = {"DeviceGray": 1, "DeviceRGB": 3}.get(str(cs))
         if ncomp is None:
             raise ValueError(f"unsupported PDF color space {cs}")
-        raw = zlib.decompress(img.raw) if filt == "FlateDecode" else img.raw
+        try:
+            raw = zlib.decompress(raw_in) if filt == "FlateDecode" \
+                else raw_in
+        except zlib.error as exc:
+            raise ValueError(f"corrupt PDF Flate image: {exc}") from exc
         predictor = 1
-        parms = doc.deref(d.get("DecodeParms"))
-        if isinstance(parms, list):
-            parms = doc.deref(parms[0]) if parms else None
         if isinstance(parms, dict):
             predictor = doc.deref(parms.get("Predictor", 1))
             colors = doc.deref(parms.get("Colors", 1))
@@ -451,15 +699,27 @@ def decode_pdf_page_images(data: bytes):
 def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
                      quality: int = 97, predictor: bool = True,
                      thumb: np.ndarray | None = None,
-                     restart_interval: int = 0) -> bytes:
+                     restart_interval: int = 0, xref: str = "table",
+                     objstm: bool = False, xref_predictor: bool = False,
+                     armor: str | None = None) -> bytes:
     """(H, W) uint8 pages → a minimal multi-page PDF, one page-filling
     image XObject per page — the shape a scanned newspaper issue has.
     ``codec``: ``"jpeg"`` (DCTDecode via the in-tree encoder) or
     ``"flate"`` (FlateDecode; ``predictor=True`` writes PNG-predicted
     rows with filter-type-0 prefixes). ``thumb`` adds a second, smaller
-    image XObject to page 1 so decoders must pick the largest. Writes a
-    valid classic xref table (byte-exact offsets) so parsers exercise
-    the real object graph, not a scan fallback."""
+    image XObject to page 1 so decoders must pick the largest.
+    ``xref="table"`` writes a classic xref table (byte-exact offsets);
+    ``xref="stream"`` writes a PDF 1.5 cross-reference STREAM
+    (FlateDecode, W [1 4 2]; ``xref_predictor=True`` adds PNG
+    Up-predicted rows, the shape most writers emit). ``objstm=True``
+    (requires ``xref="stream"``) packs every dict-only object (catalog,
+    pages node, page dicts) into a /ObjStm container addressed by
+    type-2 entries — the post-2005 "compressed PDF" layout.
+    ``armor`` wraps the image payload in an ASCII transport layer
+    (``"hex"``/``"a85"``), making /Filter a two-element chain — the
+    older scan-export shape."""
+    if objstm and xref != "stream":
+        raise ValueError("objstm packing requires xref='stream'")
     if not imgs:
         raise ValueError("encode_pdf_pages wants at least one page")
     for img in imgs:
@@ -486,6 +746,24 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
                 extra = b"/Filter /FlateDecode"
         else:
             raise ValueError(f"unknown codec {codec}")
+        if armor is not None:
+            import base64
+            inner = {"jpeg": b"/DCTDecode", "flate": b"/FlateDecode"}[codec]
+            if armor == "hex":
+                payload = payload.hex().encode("ascii") + b">"
+                aname = b"/ASCIIHexDecode"
+            elif armor == "a85":
+                payload = base64.a85encode(payload) + b"~>"
+                aname = b"/ASCII85Decode"
+            else:
+                raise ValueError(f"unknown armor {armor}")
+            # DecodeParms aligns per filter: null for the armor layer
+            extra = extra.replace(
+                b"/Filter " + inner, b"/Filter [" + aname + b" " + inner
+                + b"]").replace(b"/DecodeParms <<",
+                                b"/DecodeParms [null <<")
+            if b"/DecodeParms [null <<" in extra:
+                extra += b"]"
         head = (b"<< /Type /XObject /Subtype /Image /Width "
                 + str(iw).encode() + b" /Height " + str(ih).encode()
                 + b" /ColorSpace /DeviceGray /BitsPerComponent 8 "
@@ -521,28 +799,101 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
     if thumb is not None:
         bodies[thumb_num] = image_obj(thumb)
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for num in sorted(bodies):
-        offsets[num] = len(out)
+    if xref == "table":
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(bodies):
+            offsets[num] = len(out)
+            out += str(num).encode() + b" 0 obj\n" + bodies[num] \
+                + b"\nendobj\n"
+        xref_at = len(out)
+        n = max(bodies) + 1
+        out += b"xref\n0 " + str(n).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (b"trailer\n<< /Size " + str(n).encode()
+                + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+                + b"\n%%EOF\n")
+        return bytes(out)
+    if xref != "stream":
+        raise ValueError(f"unknown xref mode {xref}")
+
+    out = bytearray(b"%PDF-1.5\n")
+    # locations: num -> ("file", offset) | ("objstm", stm_num, idx)
+    locs: dict[int, tuple] = {}
+    packed_nums = []
+    if objstm:
+        # dict-only objects (no embedded stream) go into the container
+        packed_nums = [n for n in sorted(bodies)
+                       if b"stream" not in bodies[n]]
+    file_nums = [n for n in sorted(bodies) if n not in packed_nums]
+    objstm_num = max(bodies) + 1
+    xref_num = objstm_num + (1 if packed_nums else 0)
+    for num in file_nums:
+        locs[num] = ("file", len(out))
         out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    if packed_nums:
+        payload = b""
+        header = b""
+        for idx, num in enumerate(packed_nums):
+            locs[num] = ("objstm", objstm_num, idx)
+            header += str(num).encode() + b" " \
+                + str(len(payload)).encode() + b" "
+            payload += bodies[num] + b"\n"
+        content = zlib.compress(header + payload, 9)
+        locs[objstm_num] = ("file", len(out))
+        out += (str(objstm_num).encode() + b" 0 obj\n<< /Type /ObjStm /N "
+                + str(len(packed_nums)).encode() + b" /First "
+                + str(len(header)).encode()
+                + b" /Filter /FlateDecode /Length "
+                + str(len(content)).encode() + b" >>\nstream\n" + content
+                + b"\nendstream\nendobj\n")
+    # the xref stream indexes itself, so its own offset is an entry
     xref_at = len(out)
-    n = max(bodies) + 1
-    out += b"xref\n0 " + str(n).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (b"trailer\n<< /Size " + str(n).encode()
-            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
-            + b"\n%%EOF\n")
+    locs[xref_num] = ("file", xref_at)
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        loc = locs.get(num)
+        if loc is None:
+            rows += (0).to_bytes(1, "big") + (0).to_bytes(4, "big") \
+                + (0xFFFF).to_bytes(2, "big")
+        elif loc[0] == "file":
+            rows += (1).to_bytes(1, "big") \
+                + loc[1].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += (2).to_bytes(1, "big") \
+                + loc[1].to_bytes(4, "big") + loc[2].to_bytes(2, "big")
+    parms = b""
+    if xref_predictor:
+        # PNG Up(2) rows — the shape real writers emit
+        w7 = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(size, 7)
+        delta = w7.astype(np.int16)
+        delta[1:] -= w7[:-1]
+        rows = np.concatenate(
+            [np.full((size, 1), 2, dtype=np.uint8),
+             (delta % 256).astype(np.uint8)], axis=1).tobytes()
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    content = zlib.compress(bytes(rows), 9)
+    out += (str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
+            + str(size).encode() + b" /W [1 4 2] /Root 1 0 R"
+            + b" /Filter /FlateDecode" + parms + b" /Length "
+            + str(len(content)).encode() + b" >>\nstream\n" + content
+            + b"\nendstream\nendobj\n")
+    out += (b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
     return bytes(out)
 
 
 def encode_pdf_gray(img: np.ndarray, codec: str = "flate",
                     quality: int = 97, predictor: bool = True,
                     thumb: np.ndarray | None = None,
-                    restart_interval: int = 0) -> bytes:
+                    restart_interval: int = 0, xref: str = "table",
+                    objstm: bool = False, xref_predictor: bool = False,
+                    armor: str | None = None) -> bytes:
     """One-page convenience wrapper over :func:`encode_pdf_pages`."""
     return encode_pdf_pages([img], codec=codec, quality=quality,
                             predictor=predictor, thumb=thumb,
-                            restart_interval=restart_interval)
+                            restart_interval=restart_interval, xref=xref,
+                            objstm=objstm, xref_predictor=xref_predictor,
+                            armor=armor)

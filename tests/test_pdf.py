@@ -12,7 +12,8 @@ from norsk_historisk_avis_ocr_spark.stages.jpeg import (
     decode_jpeg_gray, encode_jpeg_gray,
 )
 from norsk_historisk_avis_ocr_spark.stages.pdf import (
-    decode_pdf_page_image, encode_pdf_gray,
+    decode_pdf_page_image, decode_pdf_page_images, encode_pdf_gray,
+    encode_pdf_pages, pdf_page_count,
 )
 
 
@@ -328,3 +329,151 @@ def test_incremental_update_frees_object():
            + str(len(pdf)).encode() + b"\n%%EOF\n")
     with pytest.raises(ValueError):
         decode_pdf_page_image(upd)
+
+
+def test_xref_stream_roundtrips():
+    """PDF 1.5 cross-reference streams — the post-2005 layout poppler
+    reads for the reference (tesseract_engine.py:133-142) — decode
+    byte-exactly: plain, PNG-Up-predicted, and /ObjStm-packed (type-2
+    entries), single- and multi-page."""
+    img = _gradient(60, 90)
+    img2 = _gradient(44, 90)
+    for kw in ({"xref": "stream"},
+               {"xref": "stream", "xref_predictor": True},
+               {"xref": "stream", "objstm": True},
+               {"xref": "stream", "objstm": True, "xref_predictor": True}):
+        pdf = encode_pdf_pages([img, img2], **kw)
+        assert pdf_page_count(pdf) == 2, kw
+        pages = dict(decode_pdf_page_images(pdf))
+        assert (pages[0] == img).all() and (pages[1] == img2).all(), kw
+    # DCT arm through an ObjStm-packed graph
+    pdfj = encode_pdf_gray(img, codec="jpeg", xref="stream", objstm=True)
+    want = decode_jpeg_gray(encode_jpeg_gray(img, quality=97))
+    assert (decode_pdf_page_image(pdfj) == want).all()
+
+
+def test_xref_stream_index_subsections():
+    """/Index may split the entry space into subsections; same entries,
+    same body order, explicit starts."""
+    img = _gradient(24, 40)
+    pdf = encode_pdf_gray(img, xref="stream", objstm=True)
+    # the encoder's default covers [0, Size); splitting it into two
+    # contiguous subsections keeps the identical body valid
+    at = pdf.index(b"/W [1 4 2]")
+    import re as _re
+    m = _re.search(rb"/Size (\d+)", pdf)
+    n = int(m.group(1))
+    patched = (pdf[:at] + b"/Index [0 3 3 " + str(n - 3).encode() + b"] "
+               + pdf[at:])
+    assert (decode_pdf_page_image(patched) == img).all()
+
+
+def test_hybrid_xrefstm():
+    """Hybrid files: a classic table whose trailer /XRefStm points at
+    the stream twin holding the ObjStm (type-2) entries — both chains
+    must be consulted, stream after the classic section."""
+    img = _gradient(24, 40)
+    pdf = encode_pdf_gray(img, xref="stream", objstm=True)
+    stream_xref_at = int(pdf[pdf.rindex(b"startxref\n") + 10:
+                             pdf.rindex(b"\n%%EOF")].strip())
+    import re as _re
+    n = int(_re.search(rb"/Size (\d+)", pdf).group(1))
+    body = pdf[:pdf.rindex(b"startxref\n")]
+    classic_at = len(body)
+    hybrid = (body + b"xref\n0 1\n0000000000 65535 f \n"
+              + b"trailer\n<< /Size " + str(n).encode()
+              + b" /Root 1 0 R /XRefStm " + str(stream_xref_at).encode()
+              + b" >>\nstartxref\n" + str(classic_at).encode()
+              + b"\n%%EOF\n")
+    assert (decode_pdf_page_image(hybrid) == img).all()
+
+
+def test_xref_stream_free_entry_shadows():
+    """A newer xref-stream section's type-0 (free) entry must shadow the
+    older section's in-use entry — same deletion semantics as classic
+    incremental updates."""
+    import zlib as _z
+    img = _gradient(24, 40)
+    pdf = encode_pdf_gray(img, xref="stream")
+    old_xref_at = int(pdf[pdf.rindex(b"startxref\n") + 10:
+                          pdf.rindex(b"\n%%EOF")].strip())
+    import re as _re
+    n = int(_re.search(rb"/Size (\d+)", pdf).group(1))
+    # new section: object 4 (the image) freed
+    rows = bytes([0, 0, 0, 0, 0, 0xFF, 0xFF])
+    content = _z.compress(rows)
+    upd_at = len(pdf)
+    upd = (str(n).encode() + b" 0 obj\n<< /Type /XRef /Size "
+           + str(n + 1).encode() + b" /W [1 4 2] /Index [4 1] /Root 1 0 R"
+           + b" /Prev " + str(old_xref_at).encode()
+           + b" /Filter /FlateDecode /Length "
+           + str(len(content)).encode() + b" >>\nstream\n" + content
+           + b"\nendstream\nendobj\n")
+    full = (pdf + upd + b"startxref\n" + str(upd_at).encode()
+            + b"\n%%EOF\n")
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(full)
+
+
+def test_xref_stream_malformed_is_loud():
+    img = _gradient(16, 16)
+    pdf = encode_pdf_gray(img, xref="stream")
+    # bad /W widths
+    with pytest.raises(ValueError, match="/W"):
+        decode_pdf_page_image(pdf.replace(b"/W [1 4 2]", b"/W [1 4 9]"))
+    # truncated stream payload: shorten Length -> zlib/short-body error
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(pdf.replace(b"/W [1 4 2]",
+                                          b"/W [1 4 2] /Index [0 999]"))
+    # encrypted documents quarantine loudly
+    enc = encode_pdf_gray(img)
+    body = enc[:enc.index(b"xref\n0 ")]
+    with pytest.raises(ValueError, match="encrypted"):
+        decode_pdf_page_image(_rebuild_xref(body).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"))
+
+
+def test_multi_filter_chains_roundtrip():
+    """/Filter arrays ([/ASCIIHexDecode|/ASCII85Decode, /FlateDecode|
+    /DCTDecode]) — older scan-export armor — decode exactly; aligned
+    /DecodeParms arrays (null for the armor layer) honored."""
+    img = _gradient(40, 60)
+    want_jpeg = decode_jpeg_gray(encode_jpeg_gray(img, quality=97))
+    for codec in ("flate", "jpeg"):
+        for armor in ("hex", "a85"):
+            for pred in (True, False):
+                pdf = encode_pdf_gray(img, codec=codec, predictor=pred,
+                                      armor=armor)
+                out = decode_pdf_page_image(pdf)
+                want = img if codec == "flate" else want_jpeg
+                assert (out == want).all(), (codec, armor, pred)
+    # whitespace inside the armor body is ignored (streams wrap lines)
+    pdf = encode_pdf_gray(img, codec="flate", predictor=False,
+                          armor="hex")
+    at = pdf.index(b"stream\n", pdf.index(b"/ASCIIHexDecode"))
+    insert = at + len(b"stream\n") + 10
+    spaced = pdf[:insert] + b"\n \t" + pdf[insert:]
+    # Length now disagrees -> rebuild with the patched stream length
+    spaced = spaced.replace(
+        b"/Length " + str(pdf.index(b"\nendstream", at) - at
+                          - len(b"stream\n")).encode(),
+        b"/Length " + str(pdf.index(b"\nendstream", at) - at
+                          - len(b"stream\n") + 3).encode())
+    body = spaced[:spaced.index(b"xref\n0 ")]
+    assert (decode_pdf_page_image(_rebuild_xref(body)) == img).all()
+
+
+def test_unknown_filter_chain_is_loud():
+    img = _gradient(16, 16)
+    pdf = encode_pdf_gray(img, codec="flate", predictor=False,
+                          armor="hex")
+    bad = pdf.replace(b"/ASCIIHexDecode", b"/RunLengthDecode")
+    with pytest.raises(ValueError, match="filter"):
+        decode_pdf_page_image(bad)
+    # corrupt armor bodies quarantine
+    bad85 = encode_pdf_gray(img, codec="flate", predictor=False,
+                            armor="a85")
+    at = bad85.index(b"stream\n", bad85.index(b"/ASCII85Decode")) + 7
+    glitched = bad85[:at] + b"\xff\xff" + bad85[at + 2:]
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(glitched)
