@@ -222,3 +222,39 @@ def test_pack_sequences_sub_shards_exchange_keyed_on_bucket(spark, sf_dir):
     part_key = plan.split("hashpartitioning(source", 1)
     assert len(part_key) == 2, plan
     assert "pack_bucket" in part_key[1][:120], plan
+
+
+# Current Exchange counts of the merged (tagged-union / same-key-join)
+# contract rows, pinned as CEILINGS (VERDICT r4 #7): the production
+# single-call plans are gated above, but a regression inside one *arm*
+# of a merged row would otherwise surface only as a slower driver query.
+# Merged rows intentionally run their operator per-arm, so these counts
+# are ~2× the production plans — that is the documented trade-off
+# (BENCH/PLANS.md), not headroom to grow into.
+_MERGED_ROW_EXCHANGE_CEILINGS = {
+    "text_stats": 2,
+    "pattern_audit": 1,
+    "salted_hot_keys": 5,
+    "corpus_split_sample": 0,
+    "pack_sequences": 2,
+    "dedup_ngram_jaccard": 12,
+    "dedup_components": 2,
+    "dedup_survivors": 5,
+    "dedup_simhash": 4,
+    "dedup_simhash_h6_c7": 2,
+    "emb_lsh_topk": 6,
+    "emb_dup_pairs_lsh": 3,
+    "emb_ivf_topk": 3,
+    "value_histogram": 1,
+    "exact_quantiles": 1,
+}
+
+
+@pytest.mark.parametrize(
+    "key,ceiling", sorted(_MERGED_ROW_EXCHANGE_CEILINGS.items()))
+def test_merged_contract_row_exchange_ceiling(spark, sf_dir, key, ceiling):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()[key](spark, sf_dir)
+    plan = _plan(df)
+    got = plan.count("Exchange")
+    assert got <= ceiling, (key, got, ceiling)
