@@ -108,6 +108,38 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
+def _fused_ac_first(t) -> list[int]:
+    """Fused AC-first decode table: 16-bit peek → the FULLY decoded
+    symbol when the (run,size) code AND its magnitude bits fit in the
+    window (code len + size ≤ 16, the overwhelmingly common case) —
+    packed ``((extend(v,sz) + 16384) << 11) | (run << 7) | total_bits``,
+    else -1 (fall through to the two-step path: EOBn, ZRL, long codes).
+    One list lookup replaces lookup + second refill-check + magnitude
+    extract + sign-extend per coefficient. Built vectorized from the
+    peek table and cached on the table object (same tables recur across
+    pages of a corpus)."""
+    f = getattr(t, "_fused_prog", None)
+    if f is None:
+        e = np.asarray(t.entry, dtype=np.int64)
+        ln = e & 31
+        sym = e >> 5
+        r = (sym >> 4) & 15
+        sz = sym & 15
+        tot = ln + sz
+        valid = (e >= 0) & (sz > 0) & (sz <= 14) & (tot <= 16)
+        idx = np.arange(1 << 16, dtype=np.int64)
+        sh = np.where(valid, 16 - tot, 0)
+        v = (idx >> sh) & ((1 << np.where(valid, sz, 1)) - 1)
+        half = np.where(valid, sz - 1, 0)
+        ext = np.where(v >> half > 0, v, v - (1 << np.where(valid, sz, 1))
+                       + 1)
+        f = np.where(valid,
+                     ((ext + 16384) << 11) | (r << 7) | tot,
+                     -1).tolist()
+        t._fused_prog = f
+    return f
+
+
 def _comp_block_order(w: int, h: int, cv: int, ch: int, vmax: int,
                       hmax: int, mcux: int) -> list[int]:
     """Non-interleaved traversal order: the component's OWN block grid
@@ -351,8 +383,10 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
         if t is None:
             raise ValueError("missing Huffman table")
         ac_table = t.entry
+        ac_fused = _fused_ac_first(t) if ah == 0 else None
 
     ac_rows = ([u[0][1] for u in units] if ss > 0 else None)
+    ifb = int.from_bytes
     unit = 0
     for seg in segments:
         limit = (min(unit + restart_interval, n_units)
@@ -360,22 +394,30 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
         # inline bit cursor (locals, no per-symbol method calls — the
         # same lesson as the baseline scalar loop: attribute access and
         # call overhead dominate per-symbol cost) with the zero-fill
-        # overfetch semantics of _BitReader; per-segment truncation check
-        # at the bottom. Rows are mutated as plain Python lists and
-        # written back per block (numpy scalar indexing is ~5× slower in
-        # per-symbol loops).
+        # overfetch semantics of _BitReader, refilled 48 bits at a time
+        # from a zero-padded copy — the read pointer clamps into the pad
+        # so past-end reads yield zero bits (the baseline lockstep
+        # decoder's clamp trick), and a single `if` replaces the
+        # per-byte fill loop (max deficit 16 < refill 48). The
+        # per-segment truncation check at the bottom stays exact:
+        # nbits tracks every unconsumed refill bit. Rows are mutated as
+        # plain Python lists and written back per block (numpy scalar
+        # indexing is ~5× slower in per-symbol loops).
         sn = len(seg)
+        segp = seg + b"\x00" * 8
         buf = nbits = posb = 0
         if ss == 0:
             if ah == 0:
                 preds = {ci: 0 for ci, _, _ in scan_comps}
                 while unit < limit:
                     for ci, row in units[unit]:
-                        while nbits < 16:
-                            buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                 else 0)) & 0xFFFFFFFFFF
-                            posb += 1
-                            nbits += 8
+                        if nbits < 16:
+                            rp = posb if posb < sn else sn
+                            buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                     "big")) \
+                                & 0xFFFFFFFFFFFFFFFF
+                            posb += 6
+                            nbits += 48
                         e = dc_tables[ci][(buf >> (nbits - 16)) & 0xFFFF]
                         if e < 0:
                             raise ValueError(
@@ -385,14 +427,17 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                         if sym > 11:
                             raise ValueError("bad DC size")
                         if sym:
-                            while nbits < sym:
-                                buf = ((buf << 8)
-                                       | (seg[posb] if posb < sn else 0))                                     & 0xFFFFFFFFFF
-                                posb += 1
-                                nbits += 8
+                            if nbits < sym:
+                                rp = posb if posb < sn else sn
+                                buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                         "big")) \
+                                    & 0xFFFFFFFFFFFFFFFF
+                                posb += 6
+                                nbits += 48
                             v = (buf >> (nbits - sym)) & ((1 << sym) - 1)
                             nbits -= sym
-                            preds[ci] += _extend(v, sym)
+                            preds[ci] += (v if v >> (sym - 1)
+                                          else v - (1 << sym) + 1)
                         coefs[ci][row, 0] = preds[ci] << al
                     unit += 1
             else:
@@ -400,10 +445,12 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                 while unit < limit:  # DC refinement: one bit per block
                     for ci, row in units[unit]:
                         if nbits < 1:
-                            buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                 else 0)) & 0xFFFFFFFFFF
-                            posb += 1
-                            nbits += 8
+                            rp = posb if posb < sn else sn
+                            buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                     "big")) \
+                                & 0xFFFFFFFFFFFFFFFF
+                            posb += 6
+                            nbits += 48
                         nbits -= 1
                         if (buf >> nbits) & 1:
                             coefs[ci][row, 0] |= bit
@@ -414,18 +461,35 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             rows = ac_rows  # AC scans are single-block (hoisted)
             while unit < limit:
                 if eobrun > 0:
-                    eobrun -= 1
-                    unit += 1
+                    # EOB runs cover whole blocks with no bits to read —
+                    # skip them in one arithmetic step, not per unit
+                    skip = eobrun if eobrun < limit - unit \
+                        else limit - unit
+                    eobrun -= skip
+                    unit += skip
                     continue
                 ri = rows[unit]
                 lst = None  # fetched lazily: EOB-only blocks never write
                 k = ss
                 while k <= se:
-                    while nbits < 16:
-                        buf = ((buf << 8) | (seg[posb] if posb < sn
-                                             else 0)) & 0xFFFFFFFFFF
-                        posb += 1
-                        nbits += 8
+                    if nbits < 16:
+                        rp = posb if posb < sn else sn
+                        buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                 "big")) \
+                            & 0xFFFFFFFFFFFFFFFF
+                        posb += 6
+                        nbits += 48
+                    fe = ac_fused[(buf >> (nbits - 16)) & 0xFFFF]
+                    if fe >= 0:  # code + magnitude fused in one peek
+                        nbits -= fe & 31
+                        k += (fe >> 7) & 15
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        if lst is None:
+                            lst = coef[ri].tolist()
+                        lst[k] = ((fe >> 11) - 16384) << al
+                        k += 1
+                        continue
                     e = ac_table[(buf >> (nbits - 16)) & 0xFFFF]
                     if e < 0:
                         raise ValueError("bad Huffman code (progressive)")
@@ -436,12 +500,14 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                     if sz == 0:
                         if r < 15:
                             if r:
-                                while nbits < r:
-                                    buf = ((buf << 8)
-                                           | (seg[posb] if posb < sn
-                                              else 0)) & 0xFFFFFFFFFF
-                                    posb += 1
-                                    nbits += 8
+                                if nbits < r:
+                                    rp = posb if posb < sn else sn
+                                    buf = ((buf << 48)
+                                           | ifb(segp[rp:rp + 6],
+                                                 "big")) \
+                                        & 0xFFFFFFFFFFFFFFFF
+                                    posb += 6
+                                    nbits += 48
                                 ext = (buf >> (nbits - r)) & ((1 << r) - 1)
                                 nbits -= r
                             else:
@@ -453,16 +519,19 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                         k += r
                         if k > se:
                             raise ValueError("AC run overflows band")
-                        while nbits < sz:
-                            buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                 else 0)) & 0xFFFFFFFFFF
-                            posb += 1
-                            nbits += 8
+                        if nbits < sz:
+                            rp = posb if posb < sn else sn
+                            buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                     "big")) \
+                                & 0xFFFFFFFFFFFFFFFF
+                            posb += 6
+                            nbits += 48
                         v = (buf >> (nbits - sz)) & ((1 << sz) - 1)
                         nbits -= sz
                         if lst is None:
                             lst = coef[ri].tolist()
-                        lst[k] = _extend(v, sz) << al
+                        lst[k] = (v if v >> (sz - 1)
+                                  else v - (1 << sz) + 1) << al
                         k += 1
                 if lst is not None:
                     coef[ri] = lst
@@ -472,17 +541,68 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
             p1, m1 = 1 << al, -1 << al
             coef = coefs[scan_comps[0][0]]
             rows = ac_rows  # AC scans are single-block (hoisted)
+            band = np.arange(ss, se + 1)
             while unit < limit:
+                if eobrun > 0:
+                    # EOB-covered blocks consume exactly one correction
+                    # bit per nonzero-history coefficient — a fixed,
+                    # data-independent schedule, so a whole run is
+                    # applied VECTORIZED: pull the run's band rows,
+                    # count nonzeros, take that many bits from the
+                    # cursor in one arbitrary-precision grab, unpack
+                    # with numpy (row-major order == stream order), and
+                    # apply the increment rule columnless. ~73% of
+                    # refinement blocks on a text page ride this path.
+                    run = eobrun if eobrun < limit - unit \
+                        else limit - unit
+                    blocki = np.asarray(rows[unit:unit + run])
+                    sub = coef[blocki[:, None], band[None, :]]
+                    nz = sub != 0
+                    total = int(nz.sum())
+                    if total:
+                        # the scalar cursor leaves garbage above nbits
+                        # (its reads always mask); the batch grab needs
+                        # buf clean above nbits — mask once per run
+                        buf &= (1 << nbits) - 1
+                        need = total - nbits
+                        if need > 0:
+                            nby = (need + 7) >> 3
+                            rp = posb if posb < sn else sn
+                            chunk = segp[rp:rp + nby]
+                            if len(chunk) < nby:
+                                chunk = chunk \
+                                    + b"\x00" * (nby - len(chunk))
+                            buf = (buf << (nby << 3)) | ifb(chunk, "big")
+                            posb += nby
+                            nbits += nby << 3
+                        ba = np.unpackbits(np.frombuffer(
+                            (buf >> (nbits - total)).to_bytes(
+                                (total + 7) >> 3, "big"),
+                            dtype=np.uint8))
+                        nbits -= total
+                        buf &= (1 << nbits) - 1
+                        bitsv = ba[len(ba) - total:].astype(bool)
+                        vals = sub[nz]
+                        upd = bitsv & ((vals & p1) == 0)
+                        sub[nz] = np.where(
+                            upd, vals + np.where(vals >= 0, p1, m1),
+                            vals)
+                        coef[blocki[:, None], band[None, :]] = sub
+                    eobrun -= run
+                    unit += run
+                    continue
                 ri = rows[unit]
                 lst = coef[ri].tolist()
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        while nbits < 16:
-                            buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                 else 0)) & 0xFFFFFFFFFF
-                            posb += 1
-                            nbits += 8
+                        if nbits < 16:
+                            rp = posb if posb < sn else sn
+                            buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                     "big")) \
+                                & 0xFFFFFFFFFFFFFFFF
+                            posb += 6
+                            nbits += 48
                         e = ac_table[(buf >> (nbits - 16)) & 0xFFFF]
                         if e < 0:
                             raise ValueError(
@@ -494,12 +614,14 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                         if sz == 0:
                             if r < 15:
                                 if r:
-                                    while nbits < r:
-                                        buf = ((buf << 8)
-                                               | (seg[posb] if posb < sn
-                                                  else 0)) & 0xFFFFFFFFFF
-                                        posb += 1
-                                        nbits += 8
+                                    if nbits < r:
+                                        rp = posb if posb < sn else sn
+                                        buf = ((buf << 48)
+                                               | ifb(segp[rp:rp + 6],
+                                                     "big")) \
+                                            & 0xFFFFFFFFFFFFFFFF
+                                        posb += 6
+                                        nbits += 48
                                     ext = (buf >> (nbits - r)) \
                                         & ((1 << r) - 1)
                                     nbits -= r
@@ -511,10 +633,12 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                             # refining nonzeros passed over
                         elif sz == 1:
                             if nbits < 1:
-                                buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                     else 0)) & 0xFFFFFFFFFF
-                                posb += 1
-                                nbits += 8
+                                rp = posb if posb < sn else sn
+                                buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                         "big")) \
+                                    & 0xFFFFFFFFFFFFFFFF
+                                posb += 6
+                                nbits += 48
                             nbits -= 1
                             newval = p1 if (buf >> nbits) & 1 else m1
                         else:
@@ -524,11 +648,13 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                             cv = lst[k]
                             if cv != 0:
                                 if nbits < 1:
-                                    buf = ((buf << 8)
-                                           | (seg[posb] if posb < sn
-                                              else 0)) & 0xFFFFFFFFFF
-                                    posb += 1
-                                    nbits += 8
+                                    rp = posb if posb < sn else sn
+                                    buf = ((buf << 48)
+                                           | ifb(segp[rp:rp + 6],
+                                                 "big")) \
+                                        & 0xFFFFFFFFFFFFFFFF
+                                    posb += 6
+                                    nbits += 48
                                 nbits -= 1
                                 if ((buf >> nbits) & 1) and (cv & p1) == 0:
                                     lst[k] = cv + (p1 if cv >= 0 else m1)
@@ -548,10 +674,12 @@ def _decode_scan_progressive(data, scan_start, sos, frame, htables,
                         cv = lst[k]
                         if cv != 0:
                             if nbits < 1:
-                                buf = ((buf << 8) | (seg[posb] if posb < sn
-                                                     else 0)) & 0xFFFFFFFFFF
-                                posb += 1
-                                nbits += 8
+                                rp = posb if posb < sn else sn
+                                buf = ((buf << 48) | ifb(segp[rp:rp + 6],
+                                                         "big")) \
+                                    & 0xFFFFFFFFFFFFFFFF
+                                posb += 6
+                                nbits += 48
                             nbits -= 1
                             if ((buf >> nbits) & 1) and (cv & p1) == 0:
                                 lst[k] = cv + (p1 if cv >= 0 else m1)
