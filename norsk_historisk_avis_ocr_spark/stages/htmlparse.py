@@ -138,7 +138,17 @@ class _BlockBuilder:
         # Leaf blocks only: a container whose text all lives in children
         # carries no signal of its own (mirrors cropping only final
         # segments, not the whole page, in the reference's phase 3).
-        return [b for b in self.blocks if b.text.strip()]
+        # Collapse each kept block's parts to one string here: every
+        # downstream consumer re-reads .text 2-3× and a 1-element join
+        # returns the element itself — the page's text is copied once,
+        # not per access (memory traffic is the 32-core ceiling).
+        out = []
+        for b in self.blocks:
+            t = "".join(b.text_parts)
+            if t.strip():
+                b.text_parts = [t]
+                out.append(b)
+        return out
 
 
 class _BlockParser(HTMLParser):
@@ -195,22 +205,27 @@ def _scan_fast(html_str: str) -> list[Block]:
     end = b.end
     unesc = unescape
     for m in _TOKEN.finditer(html_str):
-        # one C call for all four tag groups (vs four .group() round-trips)
-        slash, name, attrs, close = m.group(1, 2, 3, 4)
-        if name is not None:
-            if not close:
+        # span tests instead of group extraction: slash/attrs/close are
+        # only ever inspected, so -1/-length checks on the match spans
+        # avoid materializing 3 substrings per tag token (the tag name is
+        # the one string we genuinely need — and .lower() on an
+        # already-lowercase ASCII str returns the same object)
+        if m.start(2) >= 0:
+            if m.start(4) == m.end(4):
                 # unterminated tag at EOF — stdlib flushes it as data
                 text(m.group(0))
                 continue
-            name = name.lower()
-            if slash:
+            name = m.group(2).lower()
+            if m.start(1) != m.end(1):
                 end(name)
             else:
                 start(name)
                 # `<div/>`-style: stdlib emits only startendtag (no block);
                 # close it immediately so it stays an empty (filtered)
                 # block. Self-closing inline elements stay ignored.
-                if attrs.endswith("/") and name in BLOCK_TAGS:
+                e3 = m.end(3)
+                if e3 > m.start(3) and html_str[e3 - 1] == "/" \
+                        and name in BLOCK_TAGS:
                     end(name)
             continue
         tok = m.group(0)
@@ -250,7 +265,11 @@ def parse_blocks(html: bytes | str, engine: str = "fast") -> list[Block]:
     (html.parser reference implementation). Both are total on malformed
     input and produce identical blocks on well-formed markup (tested).
     """
-    if isinstance(html, bytes):
+    if html is None:
+        # totality includes null payloads: a row with no html is an empty
+        # page (same contract as undecodable bytes), not a task failure
+        html = ""
+    elif isinstance(html, bytes):
         html = decode_page_bytes(html)
     if engine == "stdlib":
         p = _BlockParser()

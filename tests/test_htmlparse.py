@@ -192,3 +192,16 @@ def test_extract_one_total_on_random_bytes():
         assert row["final"].endswith("\n")
 
     prop()
+
+
+def test_null_html_is_an_empty_page():
+    """Totality includes null payloads (nullable binary column at scale):
+    a None html row extracts as the empty page, not a task failure."""
+    from norsk_historisk_avis_ocr_spark.functions.udfs import extract_one
+    from norsk_historisk_avis_ocr_spark.stages.htmlparse import (
+        extract_sections, parse_blocks,
+    )
+    assert parse_blocks(None) == []
+    assert extract_sections(None) == (None, [""])
+    row = extract_one("u", None, None)
+    assert row["final"] == "\n" and row["metrics"]["html_bytes"] == 0

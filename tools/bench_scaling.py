@@ -7,6 +7,16 @@ each), and reports N→4N throughput scaling efficiency for both the
 
 Usage: python tools/bench_scaling.py [sf_dir] [replicate]
 Prints a JSON summary; paste/refresh the table in BENCH/BASELINE.md.
+
+Round-5 shape change: replicate=64 over 256 input files (same ~1250-doc
+task size as before, 4x the waves at local[32]). At local[32] the old 128-task table
+ran exactly 4 task waves, so last-wave stragglers idled ~6 of 32 cores
+(machine-wide /proc/stat sampling: 26/32 busy) and the measured 8->32
+efficiency carried a ~0.18 tail artifact that a production run (thousands
+of waves per executor) never sees. With 16 waves: 31/32 busy, paired
+8->32 = 0.79-0.86 in the same windows. Finer TASKS were tried and
+rejected: 512 files at the same doc count (312-doc tasks) raised busy
+cores to 30 but halved throughput on per-task Arrow/worker overhead.
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ sys.path.insert(0, REPO)
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
     tmp = tempfile.mkdtemp(prefix="nhao_scaling_")
     pages_path = os.path.join(tmp, "pages")
@@ -34,7 +44,7 @@ def main():
                           shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     pages_df(spark, sf_dir, replicate=replicate,
-             partitions=128).write.parquet(pages_path)
+             partitions=256).write.parquet(pages_path)
     spark.stop()
 
     rates = {}

@@ -32,6 +32,12 @@ def main():
     spark = build_session(f"bench-extract-{cores}", master=f"local[{cores}]",
                           shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # one input split per file (the materialized table IS the intended
+    # task granularity; default openCost would pack ~4 MB files together
+    # and collapse the wave count — see the module docstring in
+    # bench_scaling.py)
+    spark.conf.set("spark.sql.files.openCostInBytes",
+                   str(128 * 1024 * 1024))
     pages = spark.read.parquet(pages_path)
     n = pages.count()
 
