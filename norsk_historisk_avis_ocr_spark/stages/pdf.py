@@ -589,6 +589,51 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
             raise ValueError("PDF /Width /Height disagree with JPEG SOF")
         return out
 
+    if filt == "CCITTFaxDecode":
+        # scanned-archive bilevel pages (PDF 7.4.6) ride the shared
+        # stages/tiff.py CCITT machinery: /K < 0 → T.6 (G4); /K = 0 →
+        # T.4 1-D rows, whose framing follows /EndOfLine (EOL-synced =
+        # TIFF Compression=3) and /EncodedByteAlign (byte-aligned = TIFF
+        # Compression=2) — both default FALSE, i.e. continuously
+        # concatenated MH rows; /K > 0 → T.4 2-D (requires the EOL+tag
+        # framing; 2-D without EOLs or with byte alignment is framing we
+        # do not model — loud).
+        from .tiff import (
+            _g3_decode, _g4_decode, _mh_continuous_decode, _mh_decode,
+        )
+        p = parms if isinstance(parms, dict) else {}
+        kpar = doc.deref(p.get("K", 0))
+        cols = doc.deref(p.get("Columns", 1728))
+        rows_p = doc.deref(p.get("Rows", h))
+        black1 = doc.deref(p.get("BlackIs1", False))
+        align = doc.deref(p.get("EncodedByteAlign", False))
+        eol = doc.deref(p.get("EndOfLine", False))
+        if doc.deref(d.get("BitsPerComponent", 1)) != 1:
+            raise ValueError("PDF CCITT image must be 1 bit/component")
+        if not (isinstance(kpar, int) and cols == w and rows_p == h):
+            raise ValueError("PDF CCITT DecodeParms disagree with image "
+                             "dims")
+        if kpar < 0:
+            bits01 = _g4_decode(raw_in, w, h)
+        elif kpar == 0:
+            if eol:
+                bits01 = _g3_decode(raw_in, w, h, two_dim=False)
+            elif align:
+                bits01 = _mh_decode(raw_in, w, h)
+            else:
+                bits01 = _mh_continuous_decode(raw_in, w, h)
+        else:
+            if not eol or align:
+                raise ValueError("PDF CCITT 2-D without EOL framing "
+                                 "unsupported")
+            bits01 = _g3_decode(raw_in, w, h, two_dim=True)
+        # sample semantics: BlackIs1 false (default) → black runs are
+        # 0 samples → DeviceGray black; true inverts the sample space
+        # (and we reject the compensating /Decode [1 0] above — decoding
+        # the samples faithfully is the contract)
+        plane = bits01 if black1 else 1 - bits01
+        return (plane.astype(np.uint8) * 255)
+
     if filt in (None, "FlateDecode"):
         bpc = doc.deref(d.get("BitsPerComponent", 8))
         if bpc != 8:

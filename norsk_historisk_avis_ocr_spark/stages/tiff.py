@@ -431,6 +431,19 @@ def _t4_1d_row(data: bytes, nbits: int, pos: int,
     return cur, pos
 
 
+def _mh_continuous_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """Concatenated T.4 1-D (MH) rows with NO row sync — no EOL codes,
+    no byte alignment (the PDF CCITTFaxDecode K=0 default: /EndOfLine
+    and /EncodedByteAlign both false)."""
+    nbits = len(data) * 8
+    pos = 0
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        cur, pos = _t4_1d_row(data, nbits, pos, w)
+        _paint_row(out, y, cur, w)
+    return out
+
+
 def _find_eol(data: bytes, nbits: int, pos: int) -> int | None:
     """Consume fill bits + one T.4 EOL (≥11 zero bits then a 1) at
     ``pos`` → position after the EOL, or None if the bits at ``pos`` are

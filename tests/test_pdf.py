@@ -477,3 +477,82 @@ def test_unknown_filter_chain_is_loud():
     glitched = bad85[:at] + b"\xff\xff" + bad85[at + 2:]
     with pytest.raises(ValueError):
         decode_pdf_page_image(glitched)
+
+
+def _ccitt_pdf(img01, *, k, eol=False, align=False, black1=False,
+               payload=None):
+    """Minimal one-page PDF whose image XObject is CCITTFaxDecode data
+    built with the test-local T.4/T.6 encoders from test_tiff."""
+    from test_tiff import (
+        _encode_1d_row, _g3_encode, _g4_encode, _pack_bitstring,
+    )
+    h, w = img01.shape
+    if payload is None:
+        if k < 0:
+            payload = _g4_encode(img01, w)
+        elif k == 0 and eol:
+            payload = _g3_encode(img01, w)
+        elif k == 0 and align:
+            bits = []
+            for row in img01:
+                n = sum(len(b) for b in bits)
+                bits.append("0" * ((-n) % 8))
+                _encode_1d_row(bits, row, w)
+            payload = _pack_bitstring("".join(bits))
+        elif k == 0:
+            bits = []
+            for row in img01:
+                _encode_1d_row(bits, row, w)
+            payload = _pack_bitstring("".join(bits))
+        else:
+            payload = _g3_encode(img01, w, two_dim=True)
+    parms = (b"<< /K " + str(k).encode() + b" /Columns " + str(w).encode()
+             + b" /Rows " + str(h).encode()
+             + (b" /EndOfLine true" if eol else b"")
+             + (b" /EncodedByteAlign true" if align else b"")
+             + (b" /BlackIs1 true" if black1 else b"") + b" >>")
+    base = encode_pdf_gray(np.zeros((h, w), dtype=np.uint8))
+    start = base.index(b"4 0 obj")
+    end = base.index(b"endobj", start) + len(b"endobj\n")
+    newobj = (b"4 0 obj\n<< /Type /XObject /Subtype /Image /Width "
+              + str(w).encode() + b" /Height " + str(h).encode()
+              + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+              + b" /Filter /CCITTFaxDecode /DecodeParms " + parms
+              + b" /Length " + str(len(payload)).encode()
+              + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n")
+    body = base[:start] + newobj + base[end:base.index(b"xref\n0 ")]
+    return _rebuild_xref(body)
+
+
+def test_ccitt_fax_decode_all_codings():
+    """CCITTFaxDecode — the scanned-archive bilevel filter (PDF 7.4.6) —
+    decodes via the shared TIFF CCITT machinery: G4 (K<0), G3 1-D with
+    EOLs, byte-aligned MH, continuous MH (the K=0 default), and G3 2-D;
+    BlackIs1 flips the sample space faithfully."""
+    rng = np.random.default_rng(21)
+    img01 = rng.integers(0, 2, size=(12, 70)).astype(np.uint8)
+    want = (1 - img01) * 255  # BlackIs1 false: black run -> sample 0
+    cases = [dict(k=-1), dict(k=0, eol=True), dict(k=0, align=True),
+             dict(k=0), dict(k=4, eol=True)]
+    for kw in cases:
+        out = decode_pdf_page_image(_ccitt_pdf(img01, **kw))
+        assert (out == want).all(), kw
+    # BlackIs1 true: black runs are 1 samples -> DeviceGray 255
+    out = decode_pdf_page_image(_ccitt_pdf(img01, k=-1, black1=True))
+    assert (out == img01 * 255).all()
+
+
+def test_ccitt_fax_decode_loud_cases():
+    img01 = np.ones((6, 40), dtype=np.uint8)
+    # 2-D without EOL framing is unsupported -> loud
+    from test_tiff import _g3_encode
+    payload = _g3_encode(img01, 40, two_dim=True)
+    with pytest.raises(ValueError, match="EOL framing"):
+        decode_pdf_page_image(_ccitt_pdf(img01, k=4, payload=payload))
+    # Columns/Rows disagreement is loud
+    bad = _ccitt_pdf(img01, k=-1).replace(b"/Columns 40", b"/Columns 48")
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(bad)
+    # truncated payload is loud
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(_ccitt_pdf(img01, k=-1, payload=b"\x01\x02"))
