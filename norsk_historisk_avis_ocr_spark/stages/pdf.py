@@ -8,8 +8,11 @@ the raster path ships its own minimal parser: cross-reference index
 (classic tables, PDF 1.5+ xref STREAMS with /W-packed type-0/1/2
 entries, hybrid /XRefStm files, and /ObjStm compressed-object
 containers) → trailer ``/Root`` → ``/Pages`` tree → page → largest
-image XObject → ``DCTDecode`` (``stages/jpeg.py``) or ``FlateDecode``
-with optional PNG predictors (the ``stages/png.py`` defilter path).
+image XObject → ``DCTDecode`` (``stages/jpeg.py``), ``CCITTFaxDecode``
+(the ``stages/tiff.py`` G4/G3/MH machinery), or ``FlateDecode`` /
+``LZWDecode`` / ``RunLengthDecode`` with optional PNG predictors (the
+``stages/png.py`` defilter path), optionally behind ASCIIHex/ASCII85
+armor chains.
 
 This is deliberately NOT a general PDF renderer: no content-stream
 interpretation, no fonts, no vector graphics. Scanned-newspaper PDFs are
@@ -147,6 +150,31 @@ def _asciihex_decode(raw: bytes) -> bytes:
     if len(body) % 2:
         body += b"0"
     return bytes.fromhex(body.decode("ascii"))
+
+
+def _runlength_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (PDF 7.4.5): length byte 0-127 → copy the next
+    length+1 bytes; 129-255 → repeat the next byte 257-length times;
+    128 → EOD (optional at stream end)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ln = raw[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = raw[i:i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ValueError("truncated PDF RunLength data")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated PDF RunLength data")
+            out += raw[i:i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
 
 
 def _ascii85_decode(raw: bytes) -> bytes:
@@ -634,7 +662,7 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
         plane = bits01 if black1 else 1 - bits01
         return (plane.astype(np.uint8) * 255)
 
-    if filt in (None, "FlateDecode"):
+    if filt in (None, "FlateDecode", "LZWDecode", "RunLengthDecode"):
         bpc = doc.deref(d.get("BitsPerComponent", 8))
         if bpc != 8:
             raise ValueError(f"unsupported PDF image depth {bpc}")
@@ -642,11 +670,6 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
         ncomp = {"DeviceGray": 1, "DeviceRGB": 3}.get(str(cs))
         if ncomp is None:
             raise ValueError(f"unsupported PDF color space {cs}")
-        try:
-            raw = zlib.decompress(raw_in) if filt == "FlateDecode" \
-                else raw_in
-        except zlib.error as exc:
-            raise ValueError(f"corrupt PDF Flate image: {exc}") from exc
         predictor = 1
         if isinstance(parms, dict):
             predictor = doc.deref(parms.get("Predictor", 1))
@@ -657,6 +680,26 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
                 raise ValueError("PDF DecodeParms values are not integers")
             if colors != ncomp or columns != w:
                 raise ValueError("PDF DecodeParms disagree with image dims")
+            if filt == "LZWDecode" \
+                    and doc.deref(parms.get("EarlyChange", 1)) != 1:
+                raise ValueError("PDF LZW EarlyChange=0 unsupported")
+        if filt == "FlateDecode":
+            try:
+                raw = zlib.decompress(raw_in)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt PDF Flate image: {exc}") from exc
+        elif filt == "LZWDecode":
+            # PDF LZW is TIFF LZW (same MSB-first variable-width codes,
+            # same early-change table growth) — reuse the TIFF decoder
+            from .tiff import _lzw_decode
+            expected = (h * (w * ncomp + 1) if predictor >= 10
+                        else h * w * ncomp)
+            raw = _lzw_decode(raw_in, expected)
+        elif filt == "RunLengthDecode":
+            raw = _runlength_decode(raw_in)
+        else:
+            raw = raw_in
         if predictor >= 10:
             # PNG predictors: each row prefixed with a filter-type byte —
             # exactly the stages/png.py defilter input shape
@@ -741,6 +784,18 @@ def decode_pdf_page_images(data: bytes):
 
 # --- encoder (test/bench input generator) ----------------------------------
 
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode writer: literal chunks of ≤128 bytes + EOD (a
+    valid, if uncompressed, encoding — the decoder handles repeat runs
+    via its own fixtures)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out += bytes([len(chunk) - 1]) + chunk
+    out.append(128)
+    return bytes(out)
+
+
 def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
                      quality: int = 97, predictor: bool = True,
                      thumb: np.ndarray | None = None,
@@ -789,6 +844,24 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
             else:
                 payload = zlib.compress(arr.tobytes(), 9)
                 extra = b"/Filter /FlateDecode"
+        elif codec in ("lzw", "rle"):
+            if predictor:
+                rows = np.concatenate(
+                    [np.zeros((ih, 1), dtype=np.uint8), arr], axis=1)
+                data_b = rows.tobytes()
+                parms_b = (b" /DecodeParms << /Predictor 15 /Colors 1 "
+                           b"/BitsPerComponent 8 /Columns "
+                           + str(iw).encode() + b" >>")
+            else:
+                data_b = arr.tobytes()
+                parms_b = b""
+            if codec == "lzw":
+                from .tiff import _lzw_encode
+                payload = _lzw_encode(data_b)
+                extra = b"/Filter /LZWDecode" + parms_b
+            else:
+                payload = _rle_encode(data_b)
+                extra = b"/Filter /RunLengthDecode" + parms_b
         else:
             raise ValueError(f"unknown codec {codec}")
         if armor is not None:

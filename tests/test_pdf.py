@@ -556,3 +556,47 @@ def test_ccitt_fax_decode_loud_cases():
     # truncated payload is loud
     with pytest.raises(ValueError):
         decode_pdf_page_image(_ccitt_pdf(img01, k=-1, payload=b"\x01\x02"))
+
+
+def test_lzw_and_runlength_filters_roundtrip():
+    """LZWDecode (the TIFF LZW decoder reused — same MSB-first
+    early-change coding) and RunLengthDecode image streams decode
+    exactly, with and without PNG predictors; repeat runs and loud
+    truncation covered."""
+    img = _gradient(40, 60)
+    for codec in ("lzw", "rle"):
+        for pred in (True, False):
+            pdf = encode_pdf_gray(img, codec=codec, predictor=pred)
+            assert (decode_pdf_page_image(pdf) == img).all(), (codec, pred)
+    # repeat-run RLE: a constant image hand-encoded with 257-l runs
+    const = np.full((8, 16), 0x5A, dtype=np.uint8)
+    n = const.size
+    payload = bytearray()
+    left = n
+    while left:
+        take = min(left, 128)
+        payload += bytes([257 - take, 0x5A])
+        left -= take
+    payload.append(128)
+    from norsk_historisk_avis_ocr_spark.stages.pdf import _runlength_decode
+    assert _runlength_decode(bytes(payload)) == const.tobytes()
+    base = encode_pdf_gray(const, codec="rle", predictor=False)
+    old = base[base.index(b"stream\n", base.index(b"4 0 obj"))
+               + 7:base.index(b"\nendstream", base.index(b"4 0 obj"))]
+    body = base[:base.index(b"xref\n0 ")] \
+        .replace(old, bytes(payload)) \
+        .replace(b"/Length " + str(len(old)).encode(),
+                 b"/Length " + str(len(payload)).encode())
+    assert (decode_pdf_page_image(_rebuild_xref(body)) == const).all()
+    # truncation is loud
+    with pytest.raises(ValueError):
+        _runlength_decode(b"\x05ab")
+    with pytest.raises(ValueError):
+        _runlength_decode(b"\x81")
+    # LZW EarlyChange=0 quarantines
+    pdfl = encode_pdf_gray(img, codec="lzw", predictor=True)
+    spliced = pdfl.replace(b"/Predictor 15",
+                           b"/EarlyChange 0 /Predictor 15")
+    bad = _rebuild_xref(spliced[:spliced.index(b"xref\n0 ")])
+    with pytest.raises(ValueError, match="EarlyChange"):
+        decode_pdf_page_image(bad)
