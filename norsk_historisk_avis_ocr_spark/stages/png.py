@@ -19,9 +19,12 @@ codecs, so the raster path ships its own minimal PNG reader/writer:
   on our decode matches what the reference would compute after
   ``image.convert("L")``.
 
-16-bit samples decode via the high byte (PIL's ``I;16`` → ``L`` view).
-Anything unsupported (sub-byte depths, 16-bit palette) raises
-``ValueError`` so the caller can quarantine rather than mis-decode.
+16-bit samples decode via the high byte (PIL's ``I;16`` → ``L`` view);
+1/2/4-bit grayscale (the bilevel archive-scan shape) and palette decode
+by unpacking the MSB-first bit fields per defiltered row (gray scales to
+the full 0-255 range, PIL's low-depth view). Anything unsupported
+(16-bit palette, sub-byte RGB) raises ``ValueError`` so the caller can
+quarantine rather than mis-decode.
 """
 
 from __future__ import annotations
@@ -141,17 +144,70 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     if not saw_iend:
         raise ValueError("truncated PNG (no IEND chunk)")
-    if bit_depth not in (8, 16) or color_type not in _CHANNELS \
+    if bit_depth not in (1, 2, 4, 8, 16) or color_type not in _CHANNELS \
             or interlace not in (0, 1) \
-            or (bit_depth == 16 and color_type == 3):
+            or (bit_depth == 16 and color_type == 3) \
+            or (bit_depth in (1, 2, 4) and color_type not in (0, 3)):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth} color={color_type} "
-            f"interlace={interlace}); only 8/16-bit gray/RGB/RGBA/palette")
+            f"interlace={interlace}); 1/2/4-bit gray+palette, 8/16-bit "
+            f"gray/RGB/RGBA/palette")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+
+    if bit_depth in (1, 2, 4):
+        # sub-byte samples (bilevel/low-depth archive scans): filters
+        # operate on ROW BYTES with bpp=1, so defilter on the byte grid,
+        # then unpack MSB-first fields to samples
+        def unpack_rows(block: bytes, ph: int, pw: int) -> np.ndarray:
+            rb = (pw * bit_depth + 7) // 8
+            if len(block) != ph * (rb + 1):
+                raise ValueError("PNG data length mismatch")
+            rows = _defilter(block, ph, rb, 1)
+            bits = np.unpackbits(rows, axis=1)
+            if bit_depth == 1:
+                samples = bits[:, :pw]
+            else:
+                k = 8 // bit_depth
+                weights = (1 << np.arange(bit_depth - 1, -1, -1)) \
+                    .astype(np.uint8)
+                samples = (bits.reshape(ph, rb * k, bit_depth)
+                           * weights).sum(axis=2)[:, :pw]
+            return samples.astype(np.uint8)
+
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as exc:
+            raise ValueError(f"corrupt PNG stream: {exc}") from exc
+        if interlace == 0:
+            samples = unpack_rows(raw, h, w)
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw == 0 or ph == 0:
+                    continue
+                need = ph * ((pw * bit_depth + 7) // 8 + 1)
+                sub = raw[off:off + need]
+                off += need
+                samples[y0::dy, x0::dx] = unpack_rows(sub, ph, pw)
+            if off != len(raw):
+                raise ValueError("PNG data length mismatch (interlaced)")
+        if color_type == 3:
+            if samples.size and int(samples.max()) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[samples]
+        # gray: scale the sample range to 0-255 (PIL's 1/2/4-bit view)
+        return (samples * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+
     ch = _CHANNELS[color_type]
     bch = ch * (2 if bit_depth == 16 else 1)  # filter bytes-per-pixel
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
     if interlace == 0:
         if len(raw) != h * (w * bch + 1):
             raise ValueError("PNG data length mismatch")

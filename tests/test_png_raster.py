@@ -87,9 +87,19 @@ def test_png_roundtrip_property():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # sub-byte depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # sub-byte RGB
     png = _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported"):
+        decode_png(png)
+    ihdr16p = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)  # 16-bit palette
+    png = _SIGNATURE + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(png)
+    # a supported header with a corrupt/empty IDAT stream must still be
+    # the quarantine ValueError, not a zlib.error escaping the contract
+    ihdr1 = struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 0)
+    png = _SIGNATURE + _chunk(b"IHDR", ihdr1) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG"):
         decode_png(png)
 
 
@@ -282,3 +292,63 @@ def test_16bit_gray_high_byte():
     data = (_SIGNATURE + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
     assert (decode_png(data) == hi).all()
+
+
+def _subbyte_png(samples, depth, color_type=0, plte=None, up_filter=False):
+    """Hand-build a 1/2/4-bit PNG: pack MSB-first fields per row, filter
+    0 (or Up on the byte grid) scanlines."""
+    import struct
+    import zlib as _z
+    h, w = samples.shape
+    rb = (w * depth + 7) // 8
+    k = 8 // depth
+    padded = np.zeros((h, rb * k), dtype=np.uint8)
+    padded[:, :w] = samples
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    bits = ((padded.reshape(h, rb * k, 1)
+             >> (depth - 1 - np.arange(depth))) & 1).astype(np.uint8)
+    packed = np.packbits(bits.reshape(h, rb * 8), axis=1)
+    raw = bytearray()
+    prior = np.zeros(rb, dtype=np.int16)
+    for y in range(h):
+        if up_filter and y % 2:
+            raw += bytes([2]) + ((packed[y].astype(np.int16) - prior)
+                                 % 256).astype(np.uint8).tobytes()
+        else:
+            raw += bytes([0]) + packed[y].tobytes()
+        prior = packed[y].astype(np.int16)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", _z.compress(bytes(raw), 6)) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_subbyte_gray_and_palette_pngs():
+    """1/2/4-bit PNGs (the bilevel archive-scan shape): MSB-first field
+    unpack per defiltered row; gray scales to the PIL 0-255 view,
+    palette indexes PLTE; Up-filtered byte rows and non-multiple widths
+    covered."""
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        for w in (13, 16, 37):  # non-multiples exercise row padding
+            img = rng.integers(0, maxv + 1, size=(9, w)).astype(np.uint8)
+            png = _subbyte_png(img, depth)
+            assert (decode_png(png) == img * (255 // maxv)).all(), (depth, w)
+            png_up = _subbyte_png(img, depth, up_filter=True)
+            assert (decode_png(png_up) == img * (255 // maxv)).all()
+        # palette at this depth
+        plte = rng.integers(0, 256, size=(maxv + 1, 3)).astype(np.uint8)
+        idx = rng.integers(0, maxv + 1, size=(7, 19)).astype(np.uint8)
+        png_p = _subbyte_png(idx, depth, color_type=3, plte=plte)
+        assert (decode_png(png_p) == plte[idx]).all(), depth
+    # out-of-range palette index is loud
+    short_plte = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.full((4, 8), 3, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_subbyte_png(idx, 2, color_type=3, plte=short_plte))
+    # sub-byte RGB stays unsupported -> loud
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(_subbyte_png(idx, 2, color_type=2, plte=None))
