@@ -395,9 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """PDF leg of the self-verifying raster row — the reference's
         PRIMARY input format (``ocr.py:25``; poppler rasterization at
         ``engines/tesseract_engine.py:133-142``). Pages arrive as one-page
-        PDFs whose image XObject alternates DCTDecode (even doc_ids) and
-        FlateDecode+PNG-predictor (odd), and whose cross-reference
-        layout alternates classic tables vs PDF 1.5 xref streams with
+        PDFs whose image XObject alternates DCTDecode (even doc_ids),
+        FlateDecode+PNG-predictor (odd), and bilevel CCITTFaxDecode G4
+        (doc_id % 8 == 3 — new r5), and whose cross-reference layout
+        alternates classic tables vs PDF 1.5 xref streams with
         /ObjStm-packed graphs (doc_id % 4 — new r5), decoded by the
         in-tree ``stages/pdf.py`` inside ``segment_image_pages`` and
         verified
@@ -441,9 +442,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     doc_id = int(row.page_id.split("-", 1)[1])
                     arr = synth_page_array(row.page_id, width=700,
                                            height=520)
-                    decoded = (decode_jpeg_gray(
-                        encode_jpeg_gray(arr, quality=97))
-                        if doc_id % 2 == 0 else arr)
+                    if doc_id % 8 == 3:
+                        # CCITT G4 arm: bilevel threshold, ink -> 0
+                        import numpy as _np
+                        decoded = _np.where(arr < 128, 0, 255) \
+                            .astype(_np.uint8)
+                    elif doc_id % 2 == 0:
+                        decoded = decode_jpeg_gray(
+                            encode_jpeg_gray(arr, quality=97))
+                    else:
+                        decoded = arr
                     want_title, want_cols = golden_geometry(decoded)
                     got_cols = [as_tuple(b) for b in row.column_boxes]
                     if (as_tuple(row.title_box) != want_title

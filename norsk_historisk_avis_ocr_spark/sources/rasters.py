@@ -179,10 +179,12 @@ def pdf_pages_df(spark: SparkSession, sf_dir: str,
     PRIMARY input format (``ocr.py:25``; decoded via poppler at
     ``engines/tesseract_engine.py:133-142``). Same shape/contract as
     :func:`raster_pages_df`; the ``png`` column holds a one-page PDF whose
-    page image alternates deterministically between the two scan payload
-    classes: DCTDecode (embedded baseline JPEG) for even doc_ids and
-    FlateDecode with PNG predictors for odd ones, so one contract leg
-    exercises both branches of ``stages/pdf.py``. The cross-reference
+    page image alternates deterministically between the scan payload
+    classes: DCTDecode (embedded baseline JPEG) for even doc_ids,
+    FlateDecode with PNG predictors for odd ones, and bilevel
+    CCITTFaxDecode G4 (the fax/archive payload) every eighth document
+    (doc_id % 8 == 3), so one contract leg exercises the gray, color,
+    and bilevel branches of ``stages/pdf.py``. The cross-reference
     layout ALSO alternates (doc_id % 4): classic xref tables vs PDF 1.5
     xref streams with /ObjStm-packed object graphs (predicted xref rows
     on the flate arm) — the modern layout poppler reads for the
@@ -204,9 +206,12 @@ def pdf_pages_df(spark: SparkSession, sf_dir: str,
                 pid = f"page-{int(doc_id)}"
                 arr = synth_page_array(pid, width=width, height=height)
                 codec = "jpeg" if int(doc_id) % 2 == 0 else "flate"
+                if int(doc_id) % 8 == 3:
+                    # bilevel CCITT G4 arm — the fax/archive payload
+                    codec = "ccitt"
                 # doc_id % 4: 0 jpeg+classic, 1 flate+xrefstream/objstm
                 # (predicted rows), 2 jpeg+xrefstream/objstm, 3
-                # flate+classic — both codec arms ride both xref layouts
+                # flate-or-ccitt+classic — codec arms ride both layouts
                 modern = int(doc_id) % 4 in (1, 2)
                 # restart lanes let the DCT arm ride the lockstep decoder
                 rows.append({"page_id": pid,

@@ -828,6 +828,21 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
 
     def image_obj(arr: np.ndarray) -> bytes:
         ih, iw = arr.shape
+        if codec == "ccitt":
+            # bilevel archive shape: threshold at 128 (ink = black = 1),
+            # G4-code, BlackIs1 false → ink decodes to sample 0
+            if armor is not None:
+                raise ValueError("armor unsupported for codec='ccitt'")
+            from .tiff import encode_ccitt_g4
+            payload = encode_ccitt_g4((arr < 128).astype(np.uint8))
+            head = (b"<< /Type /XObject /Subtype /Image /Width "
+                    + str(iw).encode() + b" /Height " + str(ih).encode()
+                    + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+                    + b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                    + b"/Columns " + str(iw).encode() + b" /Rows "
+                    + str(ih).encode() + b" >> /Length "
+                    + str(len(payload)).encode() + b" >>\nstream\n")
+            return head + payload + b"\nendstream"
         if codec == "jpeg":
             from .jpeg import encode_jpeg_gray
             payload = encode_jpeg_gray(arr, quality=quality,

@@ -704,6 +704,70 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
     return gray
 
 
+def encode_ccitt_g4(img01: np.ndarray) -> bytes:
+    """(H, W) 0/1 array (1 = black) → a T.6 (Group 4) bitstream, EOFB-
+    terminated and byte-padded — the payload shape of a CCITT TIFF strip
+    or a PDF ``/CCITTFaxDecode /K -1`` image. Pure 2-D coding against
+    the previous row's change positions using the in-module T.4 run
+    tables (the decoder's own alphabet); exactness is pinned by decoder
+    roundtrips plus the spec-literal bitstream fixtures in the tests."""
+    img01 = np.asarray(img01)
+    if img01.ndim != 2 or not np.isin(img01, (0, 1)).all():
+        raise ValueError("encode_ccitt_g4 wants a (H, W) 0/1 array")
+    h, w = img01.shape
+    bits: list[str] = []
+
+    def emit_run(run: int, term: dict, makeup: dict) -> None:
+        while run >= 64:
+            best = max(k for k in list(makeup) + list(_EXT_MAKEUP)
+                       if 64 <= k <= run)
+            bits.append(makeup.get(best) or _EXT_MAKEUP[best])
+            run -= best
+        bits.append(term[run])
+
+    ref = [w, w]
+    for y in range(h):
+        row = img01[y]
+        diff = np.nonzero(np.diff(np.concatenate(([0], row))))[0]
+        cur = diff.tolist()
+        a0, color = -1, 0
+        while a0 < w:
+            a1 = next((p for p in cur if p > a0), w)
+            b1 = w
+            for idx, p in enumerate(ref):
+                if p > a0 and idx % 2 == color:
+                    b1 = p
+                    break
+            b2 = next((p for p in ref if p > b1), w)
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+                continue
+            delta = a1 - b1
+            if -3 <= delta <= 3:
+                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                             -1: "010", -2: "000010",
+                             -3: "0000010"}[delta])
+                a0 = a1
+                color ^= 1
+                continue
+            a2 = next((p for p in cur if p > a1), w)
+            start = a0 if a0 > 0 else 0
+            bits.append("001")  # horizontal: two T.4 runs
+            if color == 0:
+                emit_run(a1 - start, _WHITE_TERM, _WHITE_MAKEUP)
+                emit_run(a2 - a1, _BLACK_TERM, _BLACK_MAKEUP)
+            else:
+                emit_run(a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
+                emit_run(a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
+            a0 = a2
+        ref = cur + [w, w]
+    bits.append("000000000001000000000001")  # EOFB
+    s = "".join(bits)
+    s += "0" * ((-len(s)) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
 def encode_tiff_gray(arr: np.ndarray) -> bytes:
     """(H, W) uint8 → single-strip uncompressed little-endian TIFF."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)

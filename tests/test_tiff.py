@@ -331,16 +331,12 @@ def _encode_1d_row(bits, row, w):
 
 
 def _g4_encode(img01: np.ndarray, w: int) -> bytes:
-    """Test-local T.6 encoder (vertical/pass/horizontal modes + T.4 run
-    tables imported from the codec — the decoder's own alphabet)."""
-    bits: list[str] = []
-    ref = [w, w]
-    for row in img01:
-        cur = _row_changes(row, w)
-        _encode_2d_row(bits, cur, ref, w)
-        ref = cur + [w, w]
-    bits.append("000000000001000000000001")  # EOFB
-    return _pack_bitstring("".join(bits))
+    """T.6 fixtures now come from the in-tree encoder (stages/tiff.py
+    encode_ccitt_g4 — it also feeds the PDF CCITT bench/contract arms);
+    independence of the roundtrip tests is preserved by the spec-literal
+    bitstream fixtures below."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import encode_ccitt_g4
+    return encode_ccitt_g4(img01)
 
 
 def _g3_encode(img01: np.ndarray, w: int, *, two_dim=False,
