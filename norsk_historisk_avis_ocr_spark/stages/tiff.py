@@ -268,52 +268,76 @@ _EXT_MAKEUP = {
 
 
 
-def _g4_code_map(*tables) -> dict[str, int]:
-    out: dict[str, int] = {}
+
+
+def _build_run_peek(*tables) -> list[int]:
+    """13-bit peek table for T.4 run codes: peek → ``(run << 5) | code
+    length`` or -1 — one list index replaces per-length string prefix
+    matching (the same peek-table trick as the JPEG decoder)."""
+    entry = [-1] * (1 << 13)
     for t in tables:
-        out.update({code: run for run, code in t.items()})
-    return out
+        for run, code in t.items():
+            ln = len(code)
+            base = int(code, 2) << (13 - ln)
+            packed = (run << 5) | ln
+            for i in range(1 << (13 - ln)):
+                entry[base + i] = packed
+    return entry
 
 
-_G4_WHITE = _g4_code_map(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
-_G4_BLACK = _g4_code_map(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
+_WPEEK = _build_run_peek(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
+_BPEEK = _build_run_peek(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
+
+# 7-bit peek table for the 2-D mode codes: peek → (mode << 4) | length.
+# Modes: 0 V0, 1 VR1, 2 VR2, 3 VR3, 4 VL1, 5 VL2, 6 VL3, 7 pass, 8 H.
+_MODE_PEEK = [-1] * (1 << 7)
+for _mode, _code in ((0, "1"), (1, "011"), (2, "000011"), (3, "0000011"),
+                     (4, "010"), (5, "000010"), (6, "0000010"),
+                     (7, "0001"), (8, "001")):
+    _base = int(_code, 2) << (7 - len(_code))
+    for _i in range(1 << (7 - len(_code))):
+        _MODE_PEEK[_base + _i] = (_mode << 4) | len(_code)
+del _mode, _code, _base, _i
 
 
-def _peek_bits(data: bytes, nbits: int, p: int, k: int) -> str:
-    """MSB-first bit window as a 0/1 string (shared by the CCITT
-    decoders; short near the end — zero semantics via prefix match)."""
-    return "".join(str((data[q >> 3] >> (7 - (q & 7))) & 1)
-                   for q in range(p, min(p + k, nbits)))
+def _peek16(datap: bytes, p: int) -> int:
+    """16-bit MSB-first window at bit ``p`` over the zero-padded copy
+    (past-end bits read as zeros; loudness is preserved because no
+    T.4/mode code is all-zero and the top-level decoders check the
+    final consumed position against the real bit length)."""
+    b = p >> 3
+    return (int.from_bytes(datap[b:b + 3], "big")
+            >> (8 - (p & 7))) & 0xFFFF
 
 
-def _read_t4_run(data: bytes, nbits: int, p: int,
-                 codes: dict[str, int]) -> tuple[int, int]:
+def _read_t4_run(datap: bytes, nbits: int, p: int,
+                 peek: list[int]) -> tuple[int, int]:
     """One T.4 run length at bit ``p`` → (total, new_pos): makeup codes
     (≥64) accumulate until a terminating code (<64) ends the run (runs
     beyond 2560 repeat makeups). Shared by the G4 and MH decoders."""
     total = 0
     while True:
-        window = _peek_bits(data, nbits, p, 13)
-        for ln in range(2, 14):
-            run = codes.get(window[:ln])
-            if run is not None and len(window) >= ln:
-                p += ln
-                total += run
-                break
-        else:
+        e = peek[_peek16(datap, p) >> 3]
+        if e < 0:
             raise ValueError("bad T.4 run code")
+        p += e & 31
+        run = e >> 5
+        total += run
         if run < 64:
+            if p > nbits:
+                raise ValueError("truncated CCITT data")
             return total, p
 
 
-def _ccitt_2d_row(data: bytes, nbits: int, pos: int, ref: list[int],
+def _ccitt_2d_row(datap: bytes, nbits: int, pos: int, ref: list[int],
                   w: int) -> tuple[list[int], int]:
     """One 2-D-coded row (shared by T.6/G4 and T.4 2-D/G3): decode the
     vertical/pass/horizontal modes against the reference line's
     colour-change positions → (this row's change positions, new bit
     pos). The reference-line cursor advances monotonically with a0, so
     a row decodes in O(changes) — a halftone region with 10³ changes per
-    row stays linear, not quadratic."""
+    row stays linear, not quadratic. ``datap`` is the zero-padded copy;
+    the caller checks the final position against the real length."""
     cur: list[int] = []
     a0 = -1
     color = 0  # 0 = white
@@ -327,38 +351,21 @@ def _ccitt_2d_row(data: bytes, nbits: int, pos: int, ref: list[int],
         bi = ri if ri % 2 == color else ri + 1
         b1 = ref[bi]
         b2 = ref[bi + 1]
-        win = _peek_bits(data, nbits, pos, 7)
-        if win.startswith("1"):            # V0
-            pos += 1
-            a1 = b1
-        elif win.startswith("011"):        # VR1
-            pos += 3
-            a1 = b1 + 1
-        elif win.startswith("000011"):     # VR2
-            pos += 6
-            a1 = b1 + 2
-        elif win.startswith("0000011"):    # VR3
-            pos += 7
-            a1 = b1 + 3
-        elif win.startswith("010"):        # VL1
-            pos += 3
-            a1 = b1 - 1
-        elif win.startswith("000010"):     # VL2
-            pos += 6
-            a1 = b1 - 2
-        elif win.startswith("0000010"):    # VL3
-            pos += 7
-            a1 = b1 - 3
-        elif win.startswith("0001"):       # pass
-            pos += 4
+        e = _MODE_PEEK[_peek16(datap, pos) >> 9]
+        if e < 0:
+            raise ValueError("bad G4 mode code")
+        pos += e & 15
+        mode = e >> 4
+        if mode < 7:  # vertical: a1 = b1 + {0,+1,+2,+3,-1,-2,-3}
+            a1 = b1 + (mode if mode < 4 else 3 - mode)
+        elif mode == 7:  # pass
             a0 = b2
             continue
-        elif win.startswith("001"):        # horizontal: two T.4 runs
-            pos += 3
-            first = _G4_WHITE if color == 0 else _G4_BLACK
-            second = _G4_BLACK if color == 0 else _G4_WHITE
-            r1, pos = _read_t4_run(data, nbits, pos, first)
-            r2, pos = _read_t4_run(data, nbits, pos, second)
+        else:  # horizontal: two T.4 runs
+            first = _WPEEK if color == 0 else _BPEEK
+            second = _BPEEK if color == 0 else _WPEEK
+            r1, pos = _read_t4_run(datap, nbits, pos, first)
+            r2, pos = _read_t4_run(datap, nbits, pos, second)
             start = a0 if a0 > 0 else 0
             a1, a2 = start + r1, start + r1 + r2
             if a2 > w:
@@ -366,8 +373,6 @@ def _ccitt_2d_row(data: bytes, nbits: int, pos: int, ref: list[int],
             cur.extend((a1, a2))
             a0 = a2
             continue
-        else:
-            raise ValueError("bad G4 mode code")
         # coding elements move strictly rightward (T.6): a crafted
         # pass-then-VL sequence could otherwise step left past a0 and
         # decode silent garbage instead of quarantining
@@ -398,17 +403,20 @@ def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     coded against the previous row's colour-change positions; the
     imaginary line above row 0 is all white."""
     nbits = len(data) * 8
+    datap = data + b"\x00" * 4
     pos = 0
     ref = [w, w, w, w]
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
-        cur, pos = _ccitt_2d_row(data, nbits, pos, ref, w)
+        cur, pos = _ccitt_2d_row(datap, nbits, pos, ref, w)
         _paint_row(out, y, cur, w)
         ref = cur + [w, w, w, w]
+    if pos > nbits:
+        raise ValueError("truncated CCITT data")
     return out
 
 
-def _t4_1d_row(data: bytes, nbits: int, pos: int,
+def _t4_1d_row(datap: bytes, nbits: int, pos: int,
                w: int) -> tuple[list[int], int]:
     """One 1-D (MH) coded row → (change positions, new bit pos):
     alternating white/black T.4 runs starting white; only the leading
@@ -418,8 +426,8 @@ def _t4_1d_row(data: bytes, nbits: int, pos: int,
     color = 0
     first = True
     while x < w:
-        codes = _G4_WHITE if color == 0 else _G4_BLACK
-        run, pos = _read_t4_run(data, nbits, pos, codes)
+        peek = _WPEEK if color == 0 else _BPEEK
+        run, pos = _read_t4_run(datap, nbits, pos, peek)
         if run == 0 and not first:
             raise ValueError("zero-length mid-row T.4 run")
         first = False
@@ -436,11 +444,14 @@ def _mh_continuous_decode(data: bytes, w: int, h: int) -> np.ndarray:
     no byte alignment (the PDF CCITTFaxDecode K=0 default: /EndOfLine
     and /EncodedByteAlign both false)."""
     nbits = len(data) * 8
+    datap = data + b"\x00" * 4
     pos = 0
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
-        cur, pos = _t4_1d_row(data, nbits, pos, w)
+        cur, pos = _t4_1d_row(datap, nbits, pos, w)
         _paint_row(out, y, cur, w)
+    if pos > nbits:
+        raise ValueError("truncated CCITT data")
     return out
 
 
@@ -471,6 +482,7 @@ def _g3_decode(data: bytes, w: int, h: int,
     missing EOL is tolerated only before row 0 (common in the wild);
     that row is then necessarily 1-D."""
     nbits = len(data) * 8
+    datap = data + b"\x00" * 4
     pos = 0
     ref = [w, w, w, w]
     out = np.zeros((h, w), dtype=np.uint8)
@@ -490,11 +502,13 @@ def _g3_decode(data: bytes, w: int, h: int,
             else:
                 one_d = True
         if one_d:
-            cur, pos = _t4_1d_row(data, nbits, pos, w)
+            cur, pos = _t4_1d_row(datap, nbits, pos, w)
         else:
-            cur, pos = _ccitt_2d_row(data, nbits, pos, ref, w)
+            cur, pos = _ccitt_2d_row(datap, nbits, pos, ref, w)
         _paint_row(out, y, cur, w)
         ref = cur + [w, w, w, w]
+    if pos > nbits:
+        raise ValueError("truncated CCITT data")
     return out
 
 
@@ -505,6 +519,7 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
     white, byte-aligned at the start of every row — the 1-D cousin of
     Group 4, sharing its run tables and run reader."""
     nbits = len(data) * 8
+    datap = data + b"\x00" * 4
     pos = 0
     out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
@@ -512,8 +527,8 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
         x = 0
         color = 0
         while x < w:
-            codes = _G4_WHITE if color == 0 else _G4_BLACK
-            total, pos = _read_t4_run(data, nbits, pos, codes)
+            peek = _WPEEK if color == 0 else _BPEEK
+            total, pos = _read_t4_run(datap, nbits, pos, peek)
             if x + total > w:
                 raise ValueError("MH run overflows row")
             if color:
