@@ -740,33 +740,37 @@ def encode_ccitt_g4(img01: np.ndarray) -> bytes:
             run -= best
         bits.append(term[run])
 
-    ref = [w, w]
+    vcode = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+             -1: "010", -2: "000010", -3: "0000010"}
+    ref = [w, w, w, w]
     for y in range(h):
         row = img01[y]
-        diff = np.nonzero(np.diff(np.concatenate(([0], row))))[0]
-        cur = diff.tolist()
+        cur = np.nonzero(np.diff(np.concatenate(([0], row))))[0].tolist()
+        curp = cur + [w, w]
         a0, color = -1, 0
+        ci = 0  # first cur index with cur[ci] > a0 (monotone in a0)
+        ri = 0  # first ref index with ref[ri] > a0 (monotone in a0)
+        nc = len(cur)
         while a0 < w:
-            a1 = next((p for p in cur if p > a0), w)
-            b1 = w
-            for idx, p in enumerate(ref):
-                if p > a0 and idx % 2 == color:
-                    b1 = p
-                    break
-            b2 = next((p for p in ref if p > b1), w)
+            while ci < nc and curp[ci] <= a0:
+                ci += 1
+            a1 = curp[ci] if ci < nc else w
+            while ref[ri] <= a0:
+                ri += 1
+            bi = ri if ri % 2 == color else ri + 1
+            b1 = ref[bi]
+            b2 = ref[bi + 1]
             if b2 < a1:
                 bits.append("0001")  # pass
                 a0 = b2
                 continue
             delta = a1 - b1
             if -3 <= delta <= 3:
-                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                             -1: "010", -2: "000010",
-                             -3: "0000010"}[delta])
+                bits.append(vcode[delta])
                 a0 = a1
                 color ^= 1
                 continue
-            a2 = next((p for p in cur if p > a1), w)
+            a2 = curp[ci + 1] if ci + 1 < nc else w
             start = a0 if a0 > 0 else 0
             bits.append("001")  # horizontal: two T.4 runs
             if color == 0:
@@ -776,7 +780,7 @@ def encode_ccitt_g4(img01: np.ndarray) -> bytes:
                 emit_run(a1 - start, _BLACK_TERM, _BLACK_MAKEUP)
                 emit_run(a2 - a1, _WHITE_TERM, _WHITE_MAKEUP)
             a0 = a2
-        ref = cur + [w, w]
+        ref = cur + [w, w, w, w]
     bits.append("000000000001000000000001")  # EOFB
     s = "".join(bits)
     s += "0" * ((-len(s)) % 8)
