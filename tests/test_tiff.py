@@ -632,3 +632,37 @@ def test_planar_configuration_raises_explicitly():
         decode_tiff_gray(_simple_tiff(b"\x00" * 48, 4, 4, spp=3,
                                       photometric=2,
                                       extra=[(284, 3, 1, 2)]))
+
+
+def test_ccitt_roundtrip_property():
+    """Hypothesis fuzz over the CCITT codings: arbitrary small bilevel
+    images roundtrip through G4 (in-tree encoder), G3 1-D, and G3 2-D —
+    edge shapes (1-wide, all-black, single-pixel, column stripes) that
+    fixed seeds miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        _g3_decode, _g4_decode, encode_ccitt_g4,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(h=st.integers(1, 12), w=st.integers(1, 40),
+           seed=st.integers(0, 2**31), kind=st.sampled_from(
+               ["random", "black", "white", "stripes"]))
+    def roundtrip(h, w, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "random":
+            img01 = rng.integers(0, 2, size=(h, w)).astype(np.uint8)
+        elif kind == "black":
+            img01 = np.ones((h, w), dtype=np.uint8)
+        elif kind == "white":
+            img01 = np.zeros((h, w), dtype=np.uint8)
+        else:
+            img01 = np.tile((np.arange(w) % 2).astype(np.uint8), (h, 1))
+        assert (_g4_decode(encode_ccitt_g4(img01), w, h) == img01).all()
+        assert (_g3_decode(_g3_encode(img01, w), w, h) == img01).all()
+        assert (_g3_decode(_g3_encode(img01, w, two_dim=True), w, h,
+                           two_dim=True) == img01).all()
+
+    roundtrip()
