@@ -413,7 +413,8 @@ class _Doc:
         if self.trailer.get("Encrypt") is not None:
             raise ValueError("encrypted PDFs unsupported")
         self._cache: dict[int, object] = {}
-        self._objstm_cache: dict[int, list] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._objstm_loading: set[int] = set()
 
     def obj(self, num: int):
         if num in self._cache:
@@ -462,7 +463,17 @@ class _Doc:
         inside an ObjStm is illegal, so no stream handling here."""
         cached = self._objstm_cache.get(stm_num)
         if cached is None:
-            stm = self.obj(stm_num)
+            # a type-2 entry pointing an ObjStm at itself (or a cycle of
+            # containers) would otherwise recurse obj() ↔ here until
+            # RecursionError escapes the ValueError-only contract
+            if stm_num in self._objstm_loading:
+                raise ValueError(
+                    f"PDF ObjStm {stm_num} location is cyclic")
+            self._objstm_loading.add(stm_num)
+            try:
+                stm = self.obj(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
             if not isinstance(stm, _Stream) \
                     or str(stm.d.get("Type")) != "ObjStm":
                 raise ValueError(
@@ -642,6 +653,11 @@ def _decode_image(doc: _Doc, img: _Stream) -> np.ndarray:
             raise ValueError("PDF CCITT DecodeParms disagree with image "
                              "dims")
         if kpar < 0:
+            if align:
+                # byte-aligned G4 rows are framing we do not model —
+                # same loudness as the K>0 branch (review r5)
+                raise ValueError("PDF CCITT G4 with EncodedByteAlign "
+                                 "unsupported")
             bits01 = _g4_decode(raw_in, w, h)
         elif kpar == 0:
             if eol:
@@ -881,7 +897,11 @@ def encode_pdf_pages(imgs: list[np.ndarray], codec: str = "flate",
             raise ValueError(f"unknown codec {codec}")
         if armor is not None:
             import base64
-            inner = {"jpeg": b"/DCTDecode", "flate": b"/FlateDecode"}[codec]
+            inner = {"jpeg": b"/DCTDecode",
+                     "flate": b"/FlateDecode"}.get(codec)
+            if inner is None:
+                raise ValueError(
+                    f"armor unsupported for codec={codec!r}")
             if armor == "hex":
                 payload = payload.hex().encode("ascii") + b">"
                 aname = b"/ASCIIHexDecode"

@@ -656,14 +656,20 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
         strip = data[off:off + cnt]
         if len(strip) != cnt:
             raise ValueError("truncated TIFF strip")
-        if fill_order == 2:
+        if fill_order == 2 and compression in (2, 3, 4):
             # LSB-first within each byte → reverse to the MSB-first order
-            # every decoder below assumes (TIFF 6.0 tag 266)
+            # the CCITT decoders assume. Bit-serial codecs only: the
+            # entropy STREAM carries the bit order, so reversal happens
+            # before decode; byte-oriented codecs (raw/PackBits/LZW)
+            # carry LSB-first bits inside decoded PIXEL bytes and are
+            # reversed after decompression below (libtiff semantics —
+            # reversing their control streams would corrupt them)
             strip = strip.translate(_BITREV)
         n_rows = min(rows_per_strip, remaining_rows)
         expected = n_rows * row_bytes
         if compression == 32773:
-            out += _unpackbits_decode(strip, expected)
+            dec = _unpackbits_decode(strip, expected)
+            out += dec.translate(_BITREV) if fill_order == 2 else dec
         elif compression in (2, 3, 4):
             # decode to 1 bit per pixel, repacked to the row-padded layout
             if compression == 4:
@@ -675,11 +681,14 @@ def decode_tiff_gray(data: bytes) -> np.ndarray:
                 bits01 = _mh_decode(strip, w, n_rows)
             out += np.packbits(bits01, axis=1).tobytes()
         elif compression == 5:
-            out += _lzw_decode(strip, expected)
+            dec = _lzw_decode(strip, expected)
+            out += dec.translate(_BITREV) if fill_order == 2 else dec
         else:
             if len(strip) < expected:
                 raise ValueError("TIFF strip shorter than its rows")
-            out += strip[:expected]
+            raw_strip = strip[:expected]
+            out += raw_strip.translate(_BITREV) if fill_order == 2 \
+                else raw_strip
         remaining_rows -= n_rows
     if remaining_rows > 0:
         raise ValueError("TIFF strips cover fewer rows than ImageLength")

@@ -600,3 +600,46 @@ def test_lzw_and_runlength_filters_roundtrip():
     bad = _rebuild_xref(spliced[:spliced.index(b"xref\n0 ")])
     with pytest.raises(ValueError, match="EarlyChange"):
         decode_pdf_page_image(bad)
+
+
+def test_objstm_cycle_is_valueerror():
+    """A type-2 xref entry pointing an ObjStm at itself must be the
+    quarantine ValueError, not a RecursionError escaping the task
+    (review r5)."""
+    import zlib as _z
+    img = _gradient(16, 16)
+    pdf = encode_pdf_gray(img, xref="stream", objstm=True)
+    # rewrite the xref stream: map object 1 as type-2 into ObjStm 1
+    import re as _re
+    n = int(_re.search(rb"/Size (\d+)", pdf).group(1))
+    rows = bytearray()
+    rows += bytes([0, 0, 0, 0, 0, 0xFF, 0xFF])          # obj 0 free
+    rows += bytes([2]) + (1).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    for _ in range(2, n):
+        rows += bytes([0, 0, 0, 0, 0, 0, 0])
+    content = _z.compress(bytes(rows))
+    xref_at = len(pdf)
+    obj = (str(n).encode() + b" 0 obj\n<< /Type /XRef /Size "
+           + str(n + 1).encode() + b" /W [1 4 2] /Root 1 0 R"
+           + b" /Filter /FlateDecode /Length "
+           + str(len(content)).encode() + b" >>\nstream\n" + content
+           + b"\nendstream\nendobj\n")
+    evil = pdf + obj + b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    with pytest.raises(ValueError):
+        decode_pdf_page_image(evil)
+
+
+def test_ccitt_g4_byte_align_is_loud():
+    """/K -1 with /EncodedByteAlign is framing we do not model — loud,
+    like the K>0 branch (review r5)."""
+    img01 = np.ones((4, 24), dtype=np.uint8)
+    pdf = _ccitt_pdf(img01, k=-1, align=True)
+    with pytest.raises(ValueError, match="EncodedByteAlign"):
+        decode_pdf_page_image(pdf)
+
+
+def test_armor_with_non_armorable_codec_is_valueerror():
+    img = _gradient(8, 8)
+    for codec in ("lzw", "rle", "ccitt"):
+        with pytest.raises(ValueError, match="armor"):
+            encode_pdf_gray(img, codec=codec, armor="hex")

@@ -666,3 +666,30 @@ def test_ccitt_roundtrip_property():
                            two_dim=True) == img01).all()
 
     roundtrip()
+
+
+def test_fillorder2_byte_oriented_codecs():
+    """FillOrder=2 with byte-oriented codecs (raw/PackBits/LZW) reverses
+    the DECODED pixel bytes, never the compressed control stream
+    (review r5: reversing a PackBits stream scrambles run lengths
+    silently; reversing an LZW stream falsely rejects valid files)."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import _lzw_encode
+    rng = np.random.default_rng(41)
+    img01 = rng.integers(0, 2, size=(6, 29)).astype(np.uint8)
+    rb = -(-29 // 8)
+    packed = np.packbits(
+        np.pad(img01, ((0, 0), (0, rb * 8 - 29))), axis=1).tobytes()
+    rev = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+    lsb_pixels = packed.translate(rev)  # LSB-first pixel bytes
+    # PackBits over the LSB-first pixel bytes (literal runs)
+    pb = b"".join(bytes([len(lsb_pixels[i:i + 128]) - 1])
+                  + lsb_pixels[i:i + 128]
+                  for i in range(0, len(lsb_pixels), 128))
+    d_pb = _simple_tiff(pb, 29, 6, bits=1, photometric=1,
+                        compression=32773, extra=[(266, 3, 1, 2)])
+    assert (decode_tiff_gray(d_pb) == img01 * 255).all()
+    # LZW over the LSB-first pixel bytes
+    d_lzw = _simple_tiff(_lzw_encode(lsb_pixels), 29, 6, bits=1,
+                         photometric=1, compression=5,
+                         extra=[(266, 3, 1, 2)])
+    assert (decode_tiff_gray(d_lzw) == img01 * 255).all()

@@ -81,9 +81,12 @@ def run_one(repo: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, repo],
         capture_output=True, text=True, cwd="/tmp", timeout=900)
-    line = [ln for ln in out.stdout.splitlines()
-            if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"A/B child for {repo} failed (rc={out.returncode}): "
+            f"{out.stderr.strip().splitlines()[-5:]}")
+    return json.loads(lines[-1])
 
 
 def main():
