@@ -278,3 +278,69 @@ def segment_pdf_issues(df: DataFrame, id_col: str = "issue_id",
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, schema=schema)
+
+
+def segment_tiff_issues(df: DataFrame, id_col: str = "issue_id",
+                        tiff_col: str = "tiff") -> DataFrame:
+    """Multi-page (chained-IFD) TIFF issues → one layout-geometry row
+    per page — the TIFF analog of :func:`segment_pdf_issues` (archives
+    commonly ship a scanned issue as one multi-IFD TIFF; the reference's
+    PIL path iterates frames the same way). Same quarantine contract:
+    a malformed issue yields one page_index=-1 row, a single bad page
+    quarantines only that page."""
+    schema = StructType(
+        [StructField("issue_id", StringType(), True),
+         StructField("page_index", LongType(), True)]
+        + [StructField(f.name, f.dataType, True) for f in LAYOUT_SCHEMA[1:]]
+        + [StructField("decode_error", StringType(), True)])
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..stages.layout import split_columns_geometry
+        from ..stages.tiff import (
+            _decode_ifd, _ifd_offsets, _read_ifd_at, _tiff_byte_order,
+        )
+
+        def box(t):
+            if t is None:
+                return None
+            return {"x0": int(t[0]), "y0": int(t[1]),
+                    "x1": int(t[2]), "y1": int(t[3])}
+
+        def quarantine(iid, page_idx, exc):
+            return {"issue_id": iid, "page_index": page_idx,
+                    "boundaries": None, "body_top": None,
+                    "title_box": None, "column_boxes": None,
+                    "decode_error": f"{type(exc).__name__}: {exc}"}
+
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[tiff_col]):
+                try:
+                    raw = bytes(data)
+                    bo = _tiff_byte_order(raw)
+                    offsets = _ifd_offsets(raw, bo)
+                except Exception as exc:  # noqa: BLE001 quarantine issue
+                    rows.append(quarantine(iid, -1, exc))
+                    continue
+                for idx, off in enumerate(offsets):
+                    try:
+                        tags, _ = _read_ifd_at(raw, bo, off)
+                        gray = _decode_ifd(raw, bo, tags)
+                        geo = split_columns_geometry(gray)
+                        rows.append({
+                            "issue_id": iid, "page_index": idx,
+                            "boundaries": [int(x)
+                                           for x in geo["boundaries"]],
+                            "body_top": [int(x) for x in geo["body_top"]],
+                            "title_box": box(geo["title_box"]),
+                            "column_boxes": [box(b)
+                                             for b in geo["column_boxes"]],
+                            "decode_error": None,
+                        })
+                    except Exception as exc:  # noqa: BLE001 - per page
+                        rows.append(quarantine(iid, idx, exc))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=schema)

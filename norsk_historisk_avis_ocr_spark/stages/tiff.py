@@ -4,7 +4,10 @@ Newspaper scan corpora are commonly TIFF (the reference decodes them via
 PIL, ``engines/tesseract_engine.py:133-144``); this closes the last
 sniffed-but-stubbed image format in ``operators/multimodal.py``:
 
-- :func:`decode_tiff_gray` — single-IFD baseline TIFF → (H, W) uint8:
+- :func:`decode_tiff_gray` — baseline TIFF → (H, W) uint8 (page N of
+  the chained-IFD sequence; :func:`decode_tiff_pages` iterates every
+  page of a multi-IFD issue and :func:`tiff_page_count` probes the
+  chain):
   8-bit grayscale (PhotometricInterpretation 0/1, BlackIsZero or
   WhiteIsZero), 1-bit bilevel (the newspaper-archive staple — bits
   unpacked MSB-first per row), and 8-bit RGB (converted with the same
@@ -17,8 +20,10 @@ sniffed-but-stubbed image format in ``operators/multimodal.py``:
   optional horizontal-differencing Predictor (tag 317 = 2); strip-based,
   both byte orders (II/MM); FillOrder=2 (LSB-first, fax-origin files)
   bit-reverses each bit-serial strip.
-- :func:`encode_tiff_gray` — single-strip uncompressed little-endian
-  grayscale writer; tests additionally hand-build LZW/bilevel/CCITT
+- :func:`encode_tiff_gray` / :func:`encode_tiff_multi` — single-strip
+  uncompressed little-endian grayscale writers (single- and chained-IFD
+  multi-page); :func:`encode_ccitt_g4` emits T.6 payloads for the TIFF
+  and PDF CCITT arms; tests additionally hand-build LZW/bilevel/CCITT
   streams with in-module/test-local compressors.
 
 Anything else (tiles, JPEG-in-TIFF, planar, palettes, T4Options
@@ -538,10 +543,9 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
-def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
-    if len(data) < 8:
-        raise ValueError("truncated TIFF header")
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+def _read_ifd_at(data: bytes, bo: str,
+                 ifd_off: int) -> tuple[dict[int, list[int]], int]:
+    """Parse one IFD at a byte offset → (tags, next-IFD offset or 0)."""
     if ifd_off + 2 > len(data):
         raise ValueError("truncated TIFF (no IFD)")
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
@@ -571,18 +575,70 @@ def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
         else:  # rationals etc — resolution metadata, not needed
             vals = []
         tags[tag] = vals
-    return tags
+    next_at = ifd_off + 2 + 12 * n_entries
+    if next_at + 4 > len(data):
+        raise ValueError("truncated TIFF IFD (no next pointer)")
+    (next_off,) = struct.unpack(bo + "I", data[next_at:next_at + 4])
+    return tags, next_off
 
 
-def decode_tiff_gray(data: bytes) -> np.ndarray:
-    """Baseline TIFF bytes → (H, W) uint8 luma plane."""
+def _tiff_byte_order(data: bytes) -> str:
     if data[:4] == b"II*\x00":
-        bo = "<"
-    elif data[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF (bad byte-order header)")
-    tags = _read_ifd(data, bo)
+        return "<"
+    if data[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF (bad byte-order header)")
+
+
+def _ifd_offsets(data: bytes, bo: str) -> list[int]:
+    """The IFD chain (multi-page TIFF = linked IFDs, TIFF 6.0 §2);
+    cycle- and length-guarded so crafted chains quarantine."""
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    (off,) = struct.unpack(bo + "I", data[4:8])
+    offs: list[int] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen or len(offs) >= 10_000:
+            raise ValueError("TIFF IFD chain is cyclic or too long")
+        seen.add(off)
+        offs.append(off)
+        _, off = _read_ifd_at(data, bo, off)
+    if not offs:
+        raise ValueError("TIFF has no IFDs")
+    return offs
+
+
+def tiff_page_count(data: bytes) -> int:
+    """Number of pages (IFDs) — an O(chain) metadata probe, no pixel
+    decode (the TIFF analog of :func:`stages.pdf.pdf_page_count`)."""
+    bo = _tiff_byte_order(data)
+    return len(_ifd_offsets(data, bo))
+
+
+def decode_tiff_pages(data: bytes):
+    """Every page of a multi-IFD TIFF in chain order — the shape a
+    scanned newspaper ISSUE has (one IFD per page). Yields
+    ``(page_index, (H, W) uint8)`` lazily so callers can bound work."""
+    bo = _tiff_byte_order(data)
+    for idx, off in enumerate(_ifd_offsets(data, bo)):
+        tags, _ = _read_ifd_at(data, bo, off)
+        yield idx, _decode_ifd(data, bo, tags)
+
+
+def decode_tiff_gray(data: bytes, page: int = 0) -> np.ndarray:
+    """Baseline TIFF bytes → (H, W) uint8 luma plane (page ``page`` of
+    the IFD chain; single-page files have exactly one)."""
+    bo = _tiff_byte_order(data)
+    offs = _ifd_offsets(data, bo)
+    if not 0 <= page < len(offs):
+        raise ValueError(f"TIFF has {len(offs)} pages, no page {page}")
+    tags, _ = _read_ifd_at(data, bo, offs[page])
+    return _decode_ifd(data, bo, tags)
+
+
+def _decode_ifd(data: bytes, bo: str,
+                tags: dict[int, list[int]]) -> np.ndarray:
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -796,30 +852,47 @@ def encode_ccitt_g4(img01: np.ndarray) -> bytes:
     return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
 
 
+def encode_tiff_multi(arrs: list[np.ndarray]) -> bytes:
+    """(H, W) uint8 pages → a multi-page (chained-IFD) uncompressed
+    little-endian TIFF — the shape a scanned newspaper ISSUE has (one
+    IFD per page, TIFF 6.0 §2)."""
+    if not arrs:
+        raise ValueError("encode_tiff_multi wants at least one page")
+    pages = []
+    for arr in arrs:
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if arr.ndim != 2:
+            raise ValueError("encode_tiff_multi takes 2-D grayscale "
+                             "arrays")
+        pages.append(arr)
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")  # next: patch below
+    prev_next_at = 4  # header's first-IFD pointer
+    for arr in pages:
+        h, w = arr.shape
+        pixels = arr.tobytes()
+        strip_off = len(out)
+        out += pixels
+        ifd_off = len(out)
+        struct.pack_into("<I", out, prev_next_at, ifd_off)
+        entries = [
+            (_WIDTH, 3, 1, w),
+            (_HEIGHT, 3, 1, h),
+            (_BITS, 3, 1, 8),
+            (_COMPRESSION, 3, 1, 1),
+            (_PHOTOMETRIC, 3, 1, 1),          # BlackIsZero
+            (_STRIP_OFFSETS, 4, 1, strip_off),
+            (_SAMPLES_PER_PIXEL, 3, 1, 1),
+            (_ROWS_PER_STRIP, 3, 1, h),
+            (_STRIP_BYTE_COUNTS, 4, 1, len(pixels)),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, value in entries:
+            out += struct.pack("<HHII", tag, typ, count, value)
+        prev_next_at = len(out)
+        out += struct.pack("<I", 0)  # next IFD (patched by next page)
+    return bytes(out)
+
+
 def encode_tiff_gray(arr: np.ndarray) -> bytes:
     """(H, W) uint8 → single-strip uncompressed little-endian TIFF."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim != 2:
-        raise ValueError("encode_tiff_gray takes a 2-D grayscale array")
-    h, w = arr.shape
-    pixels = arr.tobytes()
-    # layout: header(8) | pixel strip | IFD
-    strip_off = 8
-    ifd_off = strip_off + len(pixels)
-    entries = [
-        (_WIDTH, 3, 1, w),
-        (_HEIGHT, 3, 1, h),
-        (_BITS, 3, 1, 8),
-        (_COMPRESSION, 3, 1, 1),
-        (_PHOTOMETRIC, 3, 1, 1),          # BlackIsZero
-        (_STRIP_OFFSETS, 4, 1, strip_off),
-        (_SAMPLES_PER_PIXEL, 3, 1, 1),
-        (_ROWS_PER_STRIP, 3, 1, h),
-        (_STRIP_BYTE_COUNTS, 4, 1, len(pixels)),
-    ]
-    ifd = struct.pack("<H", len(entries))
-    for tag, typ, count, value in entries:
-        ifd += struct.pack("<HHII", tag, typ, count, value)
-    ifd += struct.pack("<I", 0)  # no next IFD
-    header = b"II*\x00" + struct.pack("<I", ifd_off)
-    return header + pixels + ifd
+    return encode_tiff_multi([arr])

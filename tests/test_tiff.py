@@ -693,3 +693,56 @@ def test_fillorder2_byte_oriented_codecs():
                          photometric=1, compression=5,
                          extra=[(266, 3, 1, 2)])
     assert (decode_tiff_gray(d_lzw) == img01 * 255).all()
+
+
+def test_multipage_tiff_roundtrip_and_count():
+    """Multi-IFD TIFFs (one page per IFD — the scanned-issue shape)
+    roundtrip per page; tiff_page_count is a metadata probe."""
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        decode_tiff_gray, decode_tiff_pages, encode_tiff_multi,
+        tiff_page_count,
+    )
+    pages = [_gradient(20 + k, 30 + 2 * k) for k in range(3)]
+    data = encode_tiff_multi(pages)
+    assert tiff_page_count(data) == 3
+    for idx, arr in decode_tiff_pages(data):
+        assert (arr == pages[idx]).all(), idx
+    assert (decode_tiff_gray(data, page=2) == pages[2]).all()
+    with pytest.raises(ValueError, match="no page"):
+        decode_tiff_gray(data, page=3)
+    # a cyclic IFD chain quarantines instead of looping
+    ifd2_at = data.index(struct.pack("<HHII", 256, 3, 1, 30)) - 2
+    evil = bytearray(data)
+    # patch the LAST next-IFD pointer (trailing 4 bytes) to the first IFD
+    first_ifd = struct.unpack("<I", data[4:8])[0]
+    evil[-4:] = struct.pack("<I", first_ifd)
+    with pytest.raises(ValueError, match="cyclic"):
+        tiff_page_count(bytes(evil))
+
+
+def test_segment_tiff_issues_explodes_pages(spark):
+    """segment_tiff_issues: 1 issue -> N page rows; a corrupt issue and
+    a corrupt single page quarantine without failing the task."""
+    from norsk_historisk_avis_ocr_spark.operators.raster import (
+        segment_tiff_issues,
+    )
+    from norsk_historisk_avis_ocr_spark.sources.rasters import (
+        synth_page_array,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        encode_tiff_multi,
+    )
+    pages = [synth_page_array(f"ti-{k}", width=300, height=260)
+             for k in range(3)]
+    good = encode_tiff_multi(pages)
+    corrupt = good[:40]
+    df = spark.createDataFrame(
+        [("issue-good", bytearray(good)), ("issue-bad", bytearray(corrupt))],
+        "issue_id string, tiff binary")
+    rows = segment_tiff_issues(df).collect()
+    by = {(r.issue_id, r.page_index): r for r in rows}
+    assert len(by) == 4
+    for k in range(3):
+        r = by[("issue-good", k)]
+        assert r.decode_error is None and r.boundaries
+    assert by[("issue-bad", -1)].decode_error is not None
