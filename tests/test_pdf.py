@@ -643,3 +643,40 @@ def test_armor_with_non_armorable_codec_is_valueerror():
     for codec in ("lzw", "rle", "ccitt"):
         with pytest.raises(ValueError, match="armor"):
             encode_pdf_gray(img, codec=codec, armor="hex")
+
+
+def test_quarantine_contract_under_corruption():
+    """Hypothesis fuzz of the ValueError-only quarantine contract:
+    arbitrary byte corruptions of valid PDFs (every xref layout and
+    codec arm) must either decode or raise ValueError — never any other
+    exception class (a RecursionError/struct.error/IndexError escaping
+    here would fail a whole Spark task on one bad document)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    img = _gradient(24, 32)
+    bases = [
+        encode_pdf_gray(img),
+        encode_pdf_gray(img, codec="jpeg", xref="stream", objstm=True),
+        encode_pdf_gray(img, codec="lzw", xref="stream",
+                        xref_predictor=True),
+        encode_pdf_gray(img, codec="ccitt"),
+        encode_pdf_gray(img, codec="flate", armor="a85"),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(base=st.integers(0, len(bases) - 1),
+           edits=st.lists(st.tuples(st.integers(0, 10**9),
+                                    st.integers(0, 255)),
+                          min_size=1, max_size=8))
+    def corrupt(base, edits):
+        data = bytearray(bases[base])
+        for pos, val in edits:
+            data[pos % len(data)] = val
+        try:
+            out = decode_pdf_page_image(bytes(data))
+            assert out.ndim == 2
+        except ValueError:
+            pass  # the quarantine contract
+
+    corrupt()

@@ -746,3 +746,38 @@ def test_segment_tiff_issues_explodes_pages(spark):
         r = by[("issue-good", k)]
         assert r.decode_error is None and r.boundaries
     assert by[("issue-bad", -1)].decode_error is not None
+
+
+def test_tiff_quarantine_contract_under_corruption():
+    """Same ValueError-only fuzz for the TIFF surface (multi-page chain
+    walking included): corrupted files decode or raise ValueError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        decode_tiff_pages, encode_ccitt_g4, encode_tiff_multi,
+    )
+    pages = [_gradient(10 + k, 20) for k in range(3)]
+    g4img = (_gradient(12, 40) < 128).astype(np.uint8)
+    bases = [
+        encode_tiff_multi(pages),
+        _simple_tiff(encode_ccitt_g4(g4img), 40, 12, bits=1,
+                     compression=4, photometric=0),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(base=st.integers(0, len(bases) - 1),
+           edits=st.lists(st.tuples(st.integers(0, 10**9),
+                                    st.integers(0, 255)),
+                          min_size=1, max_size=8))
+    def corrupt(base, edits):
+        data = bytearray(bases[base])
+        for pos, val in edits:
+            data[pos % len(data)] = val
+        try:
+            for _idx, arr in decode_tiff_pages(bytes(data)):
+                assert arr.ndim == 2
+        except ValueError:
+            pass  # the quarantine contract
+
+    corrupt()
