@@ -56,11 +56,25 @@ _SHORT_LINE = re.compile(r"^\s*\S{1,2}\s*$")
 _HYPHEN_BREAK = re.compile(r"-\n\s*")
 
 
+_ALL_FIELDS = frozenset(
+    ("url", "header", "columns", "combined", "transcribed", "normalized",
+     "correction_changes", "final", "spans", "metrics"))
+
+
 def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
-                with_diff: bool = True):
+                with_diff: bool = True,
+                wants: frozenset | None = None):
     """Full per-page extraction: the Spark analog of
     ``TesseractEngine.process_file`` (``engines/tesseract_engine.py:113-192``)
-    with the LLM correction pass replaced by trie normalization."""
+    with the LLM correction pass replaced by trie normalization.
+
+    ``wants``: the result fields the caller will keep (None = all). Fields
+    outside the set are returned as None and their computation skipped —
+    the in-UDF projection lever: a ``final``+``spans`` consumer never pays
+    for metrics counting or the combined join (the word diff is separately
+    gated by ``with_diff``). Values of computed fields are identical
+    regardless of ``wants``.
+    """
     header_raw, column_raws = extract_sections(html)
 
     sections: list[str] = []
@@ -72,9 +86,12 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
         sections.append(clean_divider_noise(raw))
         labels.append(f"column-{i}")
 
-    combined = combine_sections(sections)
+    all_fields = wants is None
+    combined = (combine_sections(sections)
+                if all_fields or "combined" in wants else None)
     transcribed = transcribe_sections(sections)
-    spans = section_spans(sections, labels)
+    spans = (section_spans(sections, labels)
+             if all_fields or "spans" in wants else None)
 
     normalized = None
     changes = None
@@ -87,12 +104,26 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
         if with_diff:
             changes = readable_diff(transcribed[:-1], normalized[:-1])
 
-    raws = ([header_raw] if header_raw is not None else []) + column_raws
-    n_dropped = sum(1 for raw in raws for ln in raw.split("\n")
-                    if _SHORT_LINE.match(ln))
-    n_hyphens = sum(len(_HYPHEN_BREAK.findall(s)) for s in sections)
-
+    metrics = None
     cols = sections[1:] if header_raw is not None else sections
+    if all_fields or "metrics" in wants:
+        raws = ([header_raw] if header_raw is not None else []) + column_raws
+        # C-speed forms of the regex counters (equivalence pinned by
+        # tests): _SHORT_LINE matches iff the stripped line is 1-2 chars
+        # (a <=2-char strip residue cannot contain whitespace), and every
+        # non-overlapping _HYPHEN_BREAK match starts at a distinct "-\n".
+        n_dropped = sum(1 for raw in raws for ln in raw.split("\n")
+                        if 0 < len(ln.strip()) <= 2)
+        n_hyphens = sum(s.count("-\n") for s in sections)
+        metrics = {
+            "n_blocks": len(sections),
+            "n_cols": len(cols),
+            "n_dropped_lines": int(n_dropped),
+            "n_joined_hyphens": int(n_hyphens),
+            "html_bytes": len(html) if html is not None else 0,
+            "has_masthead": header_raw is not None,
+        }
+
     return {
         "url": url,
         "header": sections[0] if header_raw is not None else None,
@@ -106,14 +137,7 @@ def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
         # ``tesseract_claude_engine.py:134-137``)
         "final": normalized if normalized is not None else transcribed,
         "spans": spans,
-        "metrics": {
-            "n_blocks": len(sections),
-            "n_cols": len(cols),
-            "n_dropped_lines": int(n_dropped),
-            "n_joined_hyphens": int(n_hyphens),
-            "html_bytes": len(html) if html is not None else 0,
-            "has_masthead": header_raw is not None,
-        },
+        "metrics": metrics,
     }
 
 
@@ -146,6 +170,7 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
     """
     fields = [f.name for f in projected_schema(output_columns).fields]
     need_diff = "correction_changes" in fields
+    wants = frozenset(fields)
 
     def fn(batches):
         import pandas as pd
@@ -173,17 +198,21 @@ def extract_map_fn(normalize_table: tuple[dict, set] | None,
                     "normalize_langs/lang_tables given but batch has no "
                     "'lang' column")
             if by_lang:
-                rows = [extract_one(u, h, pick(lg), with_diff=need_diff)
-                        for u, h, lg in zip(pdf["url"], pdf["html"],
-                                            pdf["lang"])]
+                rows = [extract_one(u, h, pick(lg), with_diff=need_diff,
+                                    wants=wants)
+                        for u, h, lg in zip(pdf["url"].tolist(),
+                                            pdf["html"].tolist(),
+                                            pdf["lang"].tolist())]
             else:
-                rows = [extract_one(u, h, pick(None), with_diff=need_diff)
-                        for u, h in zip(pdf["url"], pdf["html"])]
-            if not rows:  # empty Arrow batch: emit an empty, typed frame
-                yield pd.DataFrame({f: [] for f in fields})
-                continue
-            out = pd.DataFrame(rows)
-            yield out[fields]
+                rows = [extract_one(u, h, pick(None), with_diff=need_diff,
+                                    wants=wants)
+                        for u, h in zip(pdf["url"].tolist(),
+                                        pdf["html"].tolist())]
+            # column-wise assembly: pd.DataFrame(list-of-dicts) re-infers
+            # per row; a dict of per-field lists is one C pass per column
+            # (and yields the projected columns only, in declared order)
+            yield pd.DataFrame({f: [r[f] for r in rows] for f in fields},
+                               columns=fields)
     return fn
 
 

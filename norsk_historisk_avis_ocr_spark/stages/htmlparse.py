@@ -188,6 +188,43 @@ _TOKEN = re.compile(
     r"|[^<]+", re.S)
 
 
+# Memoized classification of tag-shaped tokens. The groups the _TOKEN regex
+# assigns to a tag token are a pure function of the matched substring (every
+# alternative is context-free — no lookaround), so the dispatch decision can
+# be cached on the token string. Real markup repeats a small tag vocabulary
+# ("<td>", "</p>", "<br/>", the same nav hrefs ...) thousands of times per
+# page, so the cache turns 4 group extractions + branching per tag into one
+# dict hit. Values: (kind, name) with kind 0=start, 1=end, 2=start+close
+# (block-tag self-close), 3=flush token as text (unterminated at EOF).
+_TAG_ACTION: dict[str, tuple[int, str]] = {}
+_TAG_ACTION_CAP = 1 << 16  # don't let adversarial attr soup grow it forever
+
+_TAG_RE = re.compile(r"<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)([^>]*)(>?)")
+
+
+def _classify_tag(tok: str) -> tuple[int, str]:
+    m = _TAG_RE.match(tok)
+    if m.start(4) == m.end(4):
+        # unterminated tag at EOF — stdlib flushes it as data
+        act = (3, tok)
+    else:
+        name = m.group(2).lower()
+        if m.start(1) != m.end(1):
+            act = (1, name)
+        else:
+            # `<div/>`-style: stdlib emits only startendtag (no block);
+            # close it immediately so it stays an empty (filtered)
+            # block. Self-closing inline elements stay ignored.
+            e3 = m.end(3)
+            if e3 > m.start(3) and tok[e3 - 1] == "/" and name in BLOCK_TAGS:
+                act = (2, name)
+            else:
+                act = (0, name)
+    if len(_TAG_ACTION) < _TAG_ACTION_CAP:
+        _TAG_ACTION[tok] = act
+    return act
+
+
 def _scan_fast(html_str: str) -> list[Block]:
     """Compiled-regex tokenizer driving the same builder as HTMLParser.
 
@@ -204,31 +241,24 @@ def _scan_fast(html_str: str) -> list[Block]:
     start = b.start
     end = b.end
     unesc = unescape
+    action_get = _TAG_ACTION.get
     for m in _TOKEN.finditer(html_str):
-        # span tests instead of group extraction: slash/attrs/close are
-        # only ever inspected, so -1/-length checks on the match spans
-        # avoid materializing 3 substrings per tag token (the tag name is
-        # the one string we genuinely need — and .lower() on an
-        # already-lowercase ASCII str returns the same object)
-        if m.start(2) >= 0:
-            if m.start(4) == m.end(4):
-                # unterminated tag at EOF — stdlib flushes it as data
-                text(m.group(0))
-                continue
-            name = m.group(2).lower()
-            if m.start(1) != m.end(1):
-                end(name)
-            else:
-                start(name)
-                # `<div/>`-style: stdlib emits only startendtag (no block);
-                # close it immediately so it stays an empty (filtered)
-                # block. Self-closing inline elements stay ignored.
-                e3 = m.end(3)
-                if e3 > m.start(3) and html_str[e3 - 1] == "/" \
-                        and name in BLOCK_TAGS:
-                    end(name)
-            continue
         tok = m.group(0)
+        if m.start(2) >= 0:
+            act = action_get(tok)
+            if act is None:
+                act = _classify_tag(tok)
+            kind = act[0]
+            if kind == 0:
+                start(act[1])
+            elif kind == 1:
+                end(act[1])
+            elif kind == 2:
+                start(act[1])
+                end(act[1])
+            else:
+                text(tok)
+            continue
         if tok[0] != "<":
             text(unesc(tok) if "&" in tok else tok)
         elif not tok.endswith(">") and not tok.startswith("<!--"):

@@ -109,11 +109,16 @@ class OrthographyNormalizer:
         """Rewrite token by token. Tokens are maximal non-whitespace runs;
         the original whitespace (spaces, newlines, blank-line section
         separators) is preserved byte-for-byte. A multi-token phrase match
-        collapses its interior whitespace into the single replacement."""
+        collapses its interior whitespace into the single replacement.
+
+        Hot-path shape: non-matching stretches are copied as slices of the
+        token/separator ``parts`` list (C-speed ``extend``) instead of
+        token-by-token appends.
+        """
         parts = _WS_SPLIT.split(text)
-        # parts alternates token, sep, token, ... (possibly empty edges)
+        # parts alternates token, sep, token, ... (2n-1 entries: a sep
+        # follows every token except the last; possibly empty edges)
         tokens = parts[0::2]
-        seps = parts[1::2]  # sep[i] follows token[i]
         # str.strip(chars) == _split_token's core extraction, at C speed —
         # the full (pre, core, post) split is only needed on actual matches
         cores = [tok.strip(_PUNCT).lower() for tok in tokens]
@@ -127,43 +132,45 @@ class OrthographyNormalizer:
             return text  # nothing can match: the output is the input
 
         preserve = self._preserve
-        n_seps = len(seps)
+        root_children = self._root.children
         out: list[str] = []
-        i = 0
+        last = 0  # index into parts of the first not-yet-copied entry
         n = len(tokens)
-        while i < n:
-            if cores[i] not in candidates:
-                out.append(tokens[i])
-                if i < n_seps:
-                    out.append(seps[i])
-                i += 1
+        # the copy-verbatim majority is skipped wholesale: only trie-head
+        # positions are visited (comprehension beats a per-token while loop)
+        min_i = 0
+        for i in [k for k, c in enumerate(cores) if c in candidates]:
+            if i < min_i:  # swallowed by a previous multi-token match
                 continue
             # longest trie match starting at i over the punctuation-stripped
             # lowercase cores
-            node = self._root
+            node_children = root_children
             best_len = 0
             best_val: str | None = None
             j = i
-            while j < n and cores[j] in node.children:
-                node = node.children[cores[j]]
+            while j < n:
+                node = node_children.get(cores[j])
+                if node is None:
+                    break
+                node_children = node.children
                 j += 1
                 if node.value is not None:
                     best_len = j - i
                     best_val = node.value
             if best_val is None or any(cores[k] in preserve for k in range(i, i + best_len)):
-                out.append(tokens[i])
-                if i < len(seps):
-                    out.append(seps[i])
-                i += 1
                 continue
+            # copy the untouched stretch, then the rewritten token run
+            # (interior separators collapse; the one after the last matched
+            # token is kept — same contract as the append-per-token form)
+            out.extend(parts[last:2 * i])
             pre, first_core, _ = self._split_token(tokens[i])
             _, _, post = self._split_token(tokens[i + best_len - 1])
-            repl = self._match_case(first_core, best_val)
-            out.append(pre + repl + post)
-            last = i + best_len - 1
-            if last < len(seps):
-                out.append(seps[last])
-            i += best_len
+            out.append(pre + self._match_case(first_core, best_val) + post)
+            last = 2 * (i + best_len) - 1
+            min_i = i + best_len
+        if not out:
+            return text  # candidates present but nothing matched
+        out.extend(parts[last:])
         return "".join(out)
 
 

@@ -174,3 +174,41 @@ def test_combine_transcribe_equivalence_wide(sections):
     reflowed = [ref._reflow_text(s) for s in cleaned]
     assert transcribe_sections(cleaned) == \
         "\n\n".join(s for s in reflowed if s) + "\n"
+
+
+# ---- _fast_opcodes ≡ difflib.SequenceMatcher (r6 optimization) ------------
+
+# Small alphabets force heavy word repetition (cross-diagonal matches, the
+# adjacent-block collapse, popularity ties); long lists cross the autojunk
+# n >= 200 threshold so the popular-element purge path is exercised too.
+_word = st.sampled_from(["a", "b", "ab", "rnann", "mann", "og", "x1", "–"])
+_wordlist = st.lists(_word, max_size=260)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_wordlist, _wordlist)
+def test_fast_opcodes_equal_difflib(a, b):
+    import difflib
+
+    from norsk_historisk_avis_ocr_spark.stages.textops import _fast_opcodes
+    assert _fast_opcodes(a, b) == \
+        difflib.SequenceMatcher(None, a, b).get_opcodes()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(wide_text.map(str.split).map(" ".join), max_size=40))
+def test_readable_diff_still_matches_reference_on_normalizer_shapes(texts):
+    """readable_diff over realistic (transcribed, normalized) pairs: run the
+    actual trie normalizer so the diffed pairs have the production shape."""
+    import difflib
+
+    from norsk_historisk_avis_ocr_spark.stages.normalize import (
+        default_normalizer,
+    )
+    from norsk_historisk_avis_ocr_spark.stages.textops import _fast_opcodes
+    norm = default_normalizer()
+    before = " ".join(texts)
+    after = norm.normalize(before)
+    assert _fast_opcodes(before.split(), after.split()) == \
+        difflib.SequenceMatcher(None, before.split(), after.split()) \
+        .get_opcodes()
