@@ -24,15 +24,26 @@ MINHASH_A = [2 * i + 3 for i in range(N_MINHASH)]   # small odd multipliers
 MINHASH_B = [1000003 * (i + 1) for i in range(N_MINHASH)]
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles (space-joined) of a text column; empty text → []."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) of a pre-split token-array column.
+
+    Callers should bind the tokenization to a real column (one projection
+    below) rather than passing ``tokens(text)`` inline: a ``split`` nested
+    inside the ``transform`` lambda is re-evaluated per shingle — O(words²)
+    re-tokenization per document (measured 1.3× on the minhash signature
+    leg at sf0.1). Values are identical either way.
+    """
     n = F.size(toks)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - k),
             lambda i: F.concat_ws(
                 " ", F.slice(toks, i + 1, k))))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) of a text column; empty text → []."""
+    return word_shingles_of(tokens(col), k)
 
 
 def minhash_value(hash_col: Column, i: int) -> Column:

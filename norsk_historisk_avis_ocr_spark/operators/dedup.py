@@ -196,9 +196,23 @@ def dedup_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct — shared base for Jaccard/MinHash."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+    """(doc_id, shingle) pairs, distinct — shared base for Jaccard/MinHash.
+
+    The token array is bound to a column in its own projection so the
+    shingle ``transform`` lambda slices a computed array instead of
+    re-running ``split`` per shingle (see ``word_shingles_of``); the
+    optimizer keeps the projection because the array is referenced more
+    than once. (Under the min-aggregation of ``minhash_signatures`` the
+    ``.distinct()`` here is removed outright by Catalyst's
+    RemoveRedundantAggregates — min is duplicate-insensitive — so the
+    minhash plan has exactly one Exchange.)
+    """
+    from ..functions.dedup import word_shingles_of
+    from ..functions.textqual import tokens
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(word_shingles_of(F.col("_toks"), k)).alias("shingle")
     ).distinct()
 
 
@@ -315,10 +329,19 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
 def simhash_values(docs: DataFrame) -> DataFrame:
     """56-bit SimHash per doc over distinct whitespace tokens: per bit
     plane, sum ±1 contributions of token hashes; bit set iff sum > 0.
-    Fully relational: tokens × 56 bit planes → two aggregations."""
+    Fully relational: tokens × 56 bit planes → one aggregation.
+
+    Per-doc token dedup is ``array_distinct`` on the token array *before*
+    the explode — a per-row operation — instead of a global ``.distinct()``
+    on the exploded (doc_id, token) rows, which costs a full extra
+    Exchange of every token row (2 shuffles → 1; the sums are over the
+    same distinct-token sets, so values are unchanged — doc_id is the
+    row key of a documents table, exactly the contract the global
+    distinct relied on too)."""
     toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).distinct().withColumn("h", portable_hash60(F.col("tok")))
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", portable_hash60(F.col("tok")))
     bit_cols = [
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"s{i}")

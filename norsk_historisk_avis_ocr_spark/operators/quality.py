@@ -170,15 +170,22 @@ def char_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vocabulary before the one shuffle — the word-count plan at character
     granularity. Docs shorter than 2 chars contribute nothing.
     """
-    t = F.lower(F.col(text_col))
-    # sequence(1, 0) would be DESCENDING in Spark — guard short docs
-    grams = F.when(
+    # bind lower(text) to a real column first: nested inside the transform
+    # lambda it is re-lowered once per bigram — O(chars²) per document
+    lowered = docs.select(F.lower(F.col(text_col)).alias("_lt"))
+    return (lowered.select(F.explode(_bigrams_of("_lt")).alias("bigram"))
+                   .groupBy("bigram").agg(F.count("*").alias("cnt")))
+
+
+def _bigrams_of(col_name: str):
+    """Character-bigram array of a pre-lowered string column.
+    sequence(1, 0) would be DESCENDING in Spark — guard short docs."""
+    t = F.col(col_name)
+    return F.when(
         F.length(t) >= 2,
-        F.expr(f"transform(sequence(1, length(lower({text_col})) - 1), "
-               f"i -> substring(lower({text_col}), i, 2))"),
+        F.expr(f"transform(sequence(1, length({col_name}) - 1), "
+               f"i -> substring({col_name}, i, 2))"),
     ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.explode(grams).alias("bigram"))
-                .groupBy("bigram").agg(F.count("*").alias("cnt")))
 
 
 def bigram_familiarity(docs: DataFrame, min_count: int = 100,
@@ -200,13 +207,9 @@ def bigram_familiarity(docs: DataFrame, min_count: int = 100,
     """
     common = (char_bigram_counts(docs, text_col)
               .filter(F.col("cnt") >= min_count).select("bigram"))
-    t = F.lower(F.col(text_col))
-    grams = F.when(
-        F.length(t) >= 2,
-        F.expr(f"transform(sequence(1, length(lower({text_col})) - 1), "
-               f"i -> substring(lower({text_col}), i, 2))"),
-    ).otherwise(F.array().cast("array<string>"))
-    doc_grams = docs.select("doc_id", F.explode(grams).alias("bigram"))
+    lowered = docs.select("doc_id", F.lower(F.col(text_col)).alias("_lt"))
+    doc_grams = lowered.select(
+        "doc_id", F.explode(_bigrams_of("_lt")).alias("bigram"))
     flagged = doc_grams.join(
         F.broadcast(common.withColumn("is_common", F.lit(1))),
         "bigram", "left")

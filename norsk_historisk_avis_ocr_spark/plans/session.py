@@ -50,4 +50,15 @@ def build_session(app: str = "nhao-extract", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Python workers pay ~180 ms/task re-reading pyspark.zip's central
+        # directory in importlib.invalidate_caches() (CPython 3.11 makes
+        # zipimporter invalidation eager). The custom daemon guards the
+        # re-read on the archive's (mtime, size) — see zipcache_daemon.py.
+        # Local mode only: the daemon module must be importable from the
+        # worker environment's PYTHONPATH, which local mode inherits from
+        # the export above; a cluster deployment sets this conf plus
+        # spark.executorEnv.PYTHONPATH explicitly.
+        b = b.config("spark.python.daemon.module",
+                     "norsk_historisk_avis_ocr_spark.zipcache_daemon")
     return b.getOrCreate()

@@ -468,7 +468,11 @@ def _segment_word_matrix(segments: list[bytes]):
         buf[pos:pos + len(seg)] = seg
         pos += stride * 4
     w = np.frombuffer(bytes(buf), dtype=">u4").astype(np.uint64)
-    return w.reshape(len(segments), stride), \
+    w = w.reshape(len(segments), stride)
+    # fuse adjacent words once: peek() then needs ONE gather per symbol
+    # ((w64 >> shift) & mask) instead of two word gathers + a shift-or
+    w64 = (w[:, :-1] << np.uint64(32)) | w[:, 1:]
+    return w64, \
         np.array([len(s) << 3 for s in segments], dtype=np.int64)
 
 
@@ -491,15 +495,18 @@ def _decode_mcus_vector(segments: list[bytes], plan_np,
     ri = restart_interval
     n_lanes = -(-n_mcu // ri)
     segs = segments[:n_lanes]
-    W, n8 = _segment_word_matrix(segs)
-    S, stride = W.shape
+    W64, n8 = _segment_word_matrix(segs)
+    S = W64.shape[0]
     lane_idx = np.arange(S)
     # MCUs this lane must decode (the tail lane may have fewer)
     limits = np.minimum((lane_idx + 1) * ri, n_mcu) - lane_idx * ri
     i = np.zeros(S, dtype=np.int64)
     zz_np = np.array(_ZZ_FLAT, dtype=np.int64)
     c32, c31 = np.uint64(32), np.uint64(31)
-    jmax = stride - 2
+    jmax = W64.shape[1] - 1
+    W64_flat = W64.reshape(-1)
+    row_base = lane_idx * W64.shape[1]
+    mask32 = np.uint64(0xFFFFFFFF)
 
     preds = [np.zeros(S, dtype=np.int64) for _ in plan_np]
     stores = {ci: np.zeros((S, ri * nb, 64), dtype=np.int64)
@@ -507,10 +514,11 @@ def _decode_mcus_vector(segments: list[bytes], plan_np,
 
     def peek():
         # 32-bit peek at each lane's bit cursor; clamping the word index
-        # into the zero pad reproduces the scalar zero-fill overfetch
+        # into the zero pad reproduces the scalar zero-fill overfetch.
+        # One flat gather from the pre-fused 64-bit word matrix.
         j = np.minimum(i >> 5, jmax)
-        pk = (((W[lane_idx, j] << c32) | W[lane_idx, j + 1])
-              >> (c32 - (i.astype(np.uint64) & c31))) & np.uint64(0xFFFFFFFF)
+        pk = (W64_flat[row_base + j]
+              >> (c32 - (i.astype(np.uint64) & c31))) & mask32
         return pk.astype(np.int64)
 
     for m in range(ri):

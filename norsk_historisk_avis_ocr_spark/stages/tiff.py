@@ -305,24 +305,32 @@ for _mode, _code in ((0, "1"), (1, "011"), (2, "000011"), (3, "0000011"),
 del _mode, _code, _base, _i
 
 
-def _peek16(datap: bytes, p: int) -> int:
-    """16-bit MSB-first window at bit ``p`` over the zero-padded copy
-    (past-end bits read as zeros; loudness is preserved because no
-    T.4/mode code is all-zero and the top-level decoders check the
-    final consumed position against the real bit length)."""
-    b = p >> 3
-    return (int.from_bytes(datap[b:b + 3], "big")
-            >> (8 - (p & 7))) & 0xFFFF
+def _bit_windows(data: bytes) -> list[int]:
+    """Per-byte 24-bit MSB-first windows over ``data`` + 4 zero-pad
+    bytes, precomputed in one vectorized pass: the per-code 16-bit peek
+    becomes one list index + shift instead of a bytes slice +
+    ``int.from_bytes`` per Huffman code (the CCITT hot loop's dominant
+    cost). Past-end bits read as zeros — same semantics as the old
+    zero-padded copy; loudness is preserved because no T.4/mode code is
+    all-zero and the top-level decoders check the final consumed
+    position against the real bit length."""
+    d = np.frombuffer(data + b"\x00" * 4, dtype=np.uint8).astype(np.uint32)
+    return ((d[:-2] << 8 | d[1:-1]) << 8 | d[2:]).tolist()
 
 
-def _read_t4_run(datap: bytes, nbits: int, p: int,
+def _peek16(wins: list[int], p: int) -> int:
+    """16-bit MSB-first peek at bit ``p`` over :func:`_bit_windows`."""
+    return (wins[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+
+
+def _read_t4_run(wins: list[int], nbits: int, p: int,
                  peek: list[int]) -> tuple[int, int]:
     """One T.4 run length at bit ``p`` → (total, new_pos): makeup codes
     (≥64) accumulate until a terminating code (<64) ends the run (runs
     beyond 2560 repeat makeups). Shared by the G4 and MH decoders."""
     total = 0
     while True:
-        e = peek[_peek16(datap, p) >> 3]
+        e = peek[((wins[p >> 3] >> (8 - (p & 7))) & 0xFFFF) >> 3]
         if e < 0:
             raise ValueError("bad T.4 run code")
         p += e & 31
@@ -334,15 +342,15 @@ def _read_t4_run(datap: bytes, nbits: int, p: int,
             return total, p
 
 
-def _ccitt_2d_row(datap: bytes, nbits: int, pos: int, ref: list[int],
+def _ccitt_2d_row(wins: list[int], nbits: int, pos: int, ref: list[int],
                   w: int) -> tuple[list[int], int]:
     """One 2-D-coded row (shared by T.6/G4 and T.4 2-D/G3): decode the
     vertical/pass/horizontal modes against the reference line's
     colour-change positions → (this row's change positions, new bit
     pos). The reference-line cursor advances monotonically with a0, so
     a row decodes in O(changes) — a halftone region with 10³ changes per
-    row stays linear, not quadratic. ``datap`` is the zero-padded copy;
-    the caller checks the final position against the real length."""
+    row stays linear, not quadratic. ``wins`` is the precomputed window
+    list; the caller checks the final position against the real length."""
     cur: list[int] = []
     a0 = -1
     color = 0  # 0 = white
@@ -356,7 +364,7 @@ def _ccitt_2d_row(datap: bytes, nbits: int, pos: int, ref: list[int],
         bi = ri if ri % 2 == color else ri + 1
         b1 = ref[bi]
         b2 = ref[bi + 1]
-        e = _MODE_PEEK[_peek16(datap, pos) >> 9]
+        e = _MODE_PEEK[((wins[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF) >> 9]
         if e < 0:
             raise ValueError("bad G4 mode code")
         pos += e & 15
@@ -369,8 +377,8 @@ def _ccitt_2d_row(datap: bytes, nbits: int, pos: int, ref: list[int],
         else:  # horizontal: two T.4 runs
             first = _WPEEK if color == 0 else _BPEEK
             second = _BPEEK if color == 0 else _WPEEK
-            r1, pos = _read_t4_run(datap, nbits, pos, first)
-            r2, pos = _read_t4_run(datap, nbits, pos, second)
+            r1, pos = _read_t4_run(wins, nbits, pos, first)
+            r2, pos = _read_t4_run(wins, nbits, pos, second)
             start = a0 if a0 > 0 else 0
             a1, a2 = start + r1, start + r1 + r2
             if a2 > w:
@@ -402,26 +410,55 @@ def _paint_row(out: np.ndarray, y: int, cur: list[int], w: int) -> None:
         out[y, prev:w] = 1
 
 
+def _paint_rows(rows: list[list[int]], w: int) -> np.ndarray:
+    """All rows' change positions → (h, w) uint8 pixels in one vectorized
+    pass (replaces per-span Python slice assignment): +1 at black-span
+    starts, −1 at ends in a flat delta array, cumsum, >0. Identical to
+    :func:`_paint_row` per row — spans never overlap (change positions
+    strictly increase), and an unpaired trailing change paints to ``w``.
+    """
+    h = len(rows)
+    starts, ends = [], []
+    stride = w + 1
+    for y, cur in enumerate(rows):
+        if not cur:
+            continue
+        arr = np.asarray(cur if len(cur) % 2 == 0 else cur + [w],
+                         dtype=np.int64)
+        np.minimum(arr, w, out=arr)
+        base = y * stride
+        starts.append(arr[0::2] + base)
+        ends.append(arr[1::2] + base)
+    delta = np.zeros(h * stride, dtype=np.int32)
+    if starts:
+        flat_s = np.concatenate(starts)
+        flat_e = np.concatenate(ends)
+        np.add.at(delta, flat_s, 1)
+        np.add.at(delta, flat_e, -1)
+    painted = np.cumsum(delta.reshape(h, stride)[:, :w], axis=1)
+    return (painted > 0).astype(np.uint8)
+
+
 def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """T.6 (Group 4) bitstream → (h, w) uint8 with 1 = black — the
     dominant archival bilevel compression. Pure 2-D coding: every row is
     coded against the previous row's colour-change positions; the
     imaginary line above row 0 is all white."""
     nbits = len(data) * 8
-    datap = data + b"\x00" * 4
+    wins = _bit_windows(data)
     pos = 0
     ref = [w, w, w, w]
-    out = np.zeros((h, w), dtype=np.uint8)
+    rows: list[list[int]] = []
     for y in range(h):
-        cur, pos = _ccitt_2d_row(datap, nbits, pos, ref, w)
-        _paint_row(out, y, cur, w)
+        cur, pos = _ccitt_2d_row(wins, nbits, pos, ref, w)
+        rows.append(cur)
         ref = cur + [w, w, w, w]
     if pos > nbits:
         raise ValueError("truncated CCITT data")
-    return out
+    return _paint_rows(rows, w)
 
 
-def _t4_1d_row(datap: bytes, nbits: int, pos: int,
+def _t4_1d_row(wins: list[int], nbits: int, pos: int,
                w: int) -> tuple[list[int], int]:
     """One 1-D (MH) coded row → (change positions, new bit pos):
     alternating white/black T.4 runs starting white; only the leading
@@ -432,7 +469,7 @@ def _t4_1d_row(datap: bytes, nbits: int, pos: int,
     first = True
     while x < w:
         peek = _WPEEK if color == 0 else _BPEEK
-        run, pos = _read_t4_run(datap, nbits, pos, peek)
+        run, pos = _read_t4_run(wins, nbits, pos, peek)
         if run == 0 and not first:
             raise ValueError("zero-length mid-row T.4 run")
         first = False
@@ -449,15 +486,15 @@ def _mh_continuous_decode(data: bytes, w: int, h: int) -> np.ndarray:
     no byte alignment (the PDF CCITTFaxDecode K=0 default: /EndOfLine
     and /EncodedByteAlign both false)."""
     nbits = len(data) * 8
-    datap = data + b"\x00" * 4
+    wins = _bit_windows(data)
     pos = 0
-    out = np.zeros((h, w), dtype=np.uint8)
+    rows: list[list[int]] = []
     for y in range(h):
-        cur, pos = _t4_1d_row(datap, nbits, pos, w)
-        _paint_row(out, y, cur, w)
+        cur, pos = _t4_1d_row(wins, nbits, pos, w)
+        rows.append(cur)
     if pos > nbits:
         raise ValueError("truncated CCITT data")
-    return out
+    return _paint_rows(rows, w)
 
 
 def _find_eol(data: bytes, nbits: int, pos: int) -> int | None:
@@ -487,10 +524,10 @@ def _g3_decode(data: bytes, w: int, h: int,
     missing EOL is tolerated only before row 0 (common in the wild);
     that row is then necessarily 1-D."""
     nbits = len(data) * 8
-    datap = data + b"\x00" * 4
+    wins = _bit_windows(data)
     pos = 0
     ref = [w, w, w, w]
-    out = np.zeros((h, w), dtype=np.uint8)
+    rows: list[list[int]] = []
     for y in range(h):
         after = _find_eol(data, nbits, pos)
         if after is None:
@@ -507,14 +544,14 @@ def _g3_decode(data: bytes, w: int, h: int,
             else:
                 one_d = True
         if one_d:
-            cur, pos = _t4_1d_row(datap, nbits, pos, w)
+            cur, pos = _t4_1d_row(wins, nbits, pos, w)
         else:
-            cur, pos = _ccitt_2d_row(datap, nbits, pos, ref, w)
-        _paint_row(out, y, cur, w)
+            cur, pos = _ccitt_2d_row(wins, nbits, pos, ref, w)
+        rows.append(cur)
         ref = cur + [w, w, w, w]
     if pos > nbits:
         raise ValueError("truncated CCITT data")
-    return out
+    return _paint_rows(rows, w)
 
 
 
@@ -524,23 +561,24 @@ def _mh_decode(data: bytes, w: int, h: int) -> np.ndarray:
     white, byte-aligned at the start of every row — the 1-D cousin of
     Group 4, sharing its run tables and run reader."""
     nbits = len(data) * 8
-    datap = data + b"\x00" * 4
+    wins = _bit_windows(data)
     pos = 0
-    out = np.zeros((h, w), dtype=np.uint8)
+    rows: list[list[int]] = []
     for y in range(h):
         pos = (pos + 7) & ~7  # rows are byte-aligned
         x = 0
         color = 0
+        cur: list[int] = []
         while x < w:
             peek = _WPEEK if color == 0 else _BPEEK
-            total, pos = _read_t4_run(datap, nbits, pos, peek)
+            total, pos = _read_t4_run(wins, nbits, pos, peek)
             if x + total > w:
                 raise ValueError("MH run overflows row")
-            if color:
-                out[y, x:x + total] = 1
             x += total
+            cur.append(x)
             color ^= 1
-    return out
+        rows.append(cur)
+    return _paint_rows(rows, w)
 
 
 def _read_ifd_at(data: bytes, bo: str,
