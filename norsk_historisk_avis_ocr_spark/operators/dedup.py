@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
-    MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_MINHASH, word_shingles,
+    MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_MINHASH,
 )
 from ..functions.textqual import portable_hash60, tokens
 

@@ -243,8 +243,11 @@ def _scan_fast(html_str: str) -> list[Block]:
     unesc = unescape
     action_get = _TAG_ACTION.get
     for m in _TOKEN.finditer(html_str):
-        tok = m.group(0)
-        if m.start(2) >= 0:
+        tok = m[0]
+        # named-tag alternative ⟺ a group participated (groups 2/4 always
+        # do there, even empty; comment/other/text branches have none) —
+        # lastindex is one C attribute read vs a m.start(2) call
+        if m.lastindex:
             act = action_get(tok)
             if act is None:
                 act = _classify_tag(tok)

@@ -35,7 +35,16 @@ def main():
     def t(name):
         return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
 
+    from norsk_historisk_avis_ocr_spark.operators import extract_pages
+    from norsk_historisk_avis_ocr_spark.sources import pages_df
+
     builders = {
+        "extract_pipeline": lambda: extract_pages(
+            pages_df(spark, SF_DIR, replicate=2, partitions=4)),
+        "extract_projected": lambda: extract_pages(
+            pages_df(spark, SF_DIR, replicate=2, partitions=4),
+            output_columns=["final", "spans"]),
+        "bigram_familiarity": lambda: q.bigram_familiarity(t("documents")),
         "dedup_minhash_lsh": lambda: dd.minhash_lsh_pairs(
             t("documents"), est_threshold=0.125),
         "dedup_signatures": lambda: dd.minhash_signatures(t("documents")),
