@@ -781,3 +781,31 @@ def test_tiff_quarantine_contract_under_corruption():
             pass  # the quarantine contract
 
     corrupt()
+
+
+def test_paint_rows_equals_paint_row_reference():
+    """The vectorized batch painter (r6) must match the per-row reference
+    painter on random change-position lists, including odd counts
+    (unpaired trailing change) and positions clamped at the row width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from norsk_historisk_avis_ocr_spark.stages.tiff import (
+        _paint_row, _paint_rows,
+    )
+
+    w = 23
+    changes = st.lists(st.integers(min_value=0, max_value=w),
+                       max_size=10).map(sorted)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(changes, max_size=6))
+    def check(rows):
+        ref = np.zeros((len(rows), w), dtype=np.uint8)
+        for y, cur in enumerate(rows):
+            _paint_row(ref, y, cur, w)
+        got = _paint_rows(rows, w)
+        assert got.shape == ref.shape
+        assert (got == ref).all()
+
+    check()
