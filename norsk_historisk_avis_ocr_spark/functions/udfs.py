@@ -56,11 +56,6 @@ _SHORT_LINE = re.compile(r"^\s*\S{1,2}\s*$")
 _HYPHEN_BREAK = re.compile(r"-\n\s*")
 
 
-_ALL_FIELDS = frozenset(
-    ("url", "header", "columns", "combined", "transcribed", "normalized",
-     "correction_changes", "final", "spans", "metrics"))
-
-
 def extract_one(url: str, html: bytes, normalizer: OrthographyNormalizer | None,
                 with_diff: bool = True,
                 wants: frozenset | None = None):

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     MINHASH_A, MINHASH_B, MINHASH_PRIME, N_BANDS, N_MINHASH,
+    word_shingles_of,
 )
 from ..functions.textqual import portable_hash60, tokens
 
@@ -207,8 +208,6 @@ def distinct_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     RemoveRedundantAggregates — min is duplicate-insensitive — so the
     minhash plan has exactly one Exchange.)
     """
-    from ..functions.dedup import word_shingles_of
-    from ..functions.textqual import tokens
     toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
     return toked.select(
         "doc_id",
@@ -337,7 +336,11 @@ def simhash_values(docs: DataFrame) -> DataFrame:
     Exchange of every token row (2 shuffles → 1; the sums are over the
     same distinct-token sets, so values are unchanged — doc_id is the
     row key of a documents table, exactly the contract the global
-    distinct relied on too)."""
+    distinct relied on too). Input contract made explicit by this
+    change: rows must be key-unique on doc_id — a duplicated doc_id row
+    now contributes its token multiset once per row instead of being
+    globally deduped (feed such inputs through dedup_keep_first
+    first)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")

@@ -202,25 +202,32 @@ _TAG_ACTION_CAP = 1 << 16  # don't let adversarial attr soup grow it forever
 _TAG_RE = re.compile(r"<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)([^>]*)(>?)")
 
 
+_TAG_TOKEN_CAP = 256  # don't cache huge one-off tokens (unique attr soup)
+
+
 def _classify_tag(tok: str) -> tuple[int, str]:
     m = _TAG_RE.match(tok)
     if m.start(4) == m.end(4):
-        # unterminated tag at EOF — stdlib flushes it as data
-        act = (3, tok)
+        # unterminated tag at EOF — stdlib flushes it as data. Never
+        # cached: the token is the page's whole tail (unbounded, and it
+        # cannot profitably repeat), and long-lived reused workers would
+        # pin it forever.
+        return (3, tok)
+    name = m.group(2).lower()
+    if m.start(1) != m.end(1):
+        act = (1, name)
     else:
-        name = m.group(2).lower()
-        if m.start(1) != m.end(1):
-            act = (1, name)
+        # `<div/>`-style: stdlib emits only startendtag (no block);
+        # close it immediately so it stays an empty (filtered)
+        # block. Self-closing inline elements stay ignored.
+        e3 = m.end(3)
+        if e3 > m.start(3) and tok[e3 - 1] == "/" and name in BLOCK_TAGS:
+            act = (2, name)
         else:
-            # `<div/>`-style: stdlib emits only startendtag (no block);
-            # close it immediately so it stays an empty (filtered)
-            # block. Self-closing inline elements stay ignored.
-            e3 = m.end(3)
-            if e3 > m.start(3) and tok[e3 - 1] == "/" and name in BLOCK_TAGS:
-                act = (2, name)
-            else:
-                act = (0, name)
-    if len(_TAG_ACTION) < _TAG_ACTION_CAP:
+            act = (0, name)
+    # bound both entry count and entry size: workers are reused across
+    # tasks, so the cache must not accumulate arbitrarily large strings
+    if len(tok) <= _TAG_TOKEN_CAP and len(_TAG_ACTION) < _TAG_ACTION_CAP:
         _TAG_ACTION[tok] = act
     return act
 

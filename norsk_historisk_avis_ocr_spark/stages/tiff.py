@@ -410,33 +410,41 @@ def _paint_row(out: np.ndarray, y: int, cur: list[int], w: int) -> None:
         out[y, prev:w] = 1
 
 
+_PAINT_CHUNK_ROWS = 256  # bounds transient delta/cumsum memory per call
+
+
 def _paint_rows(rows: list[list[int]], w: int) -> np.ndarray:
-    """All rows' change positions → (h, w) uint8 pixels in one vectorized
+    """All rows' change positions → (h, w) uint8 pixels in a vectorized
     pass (replaces per-span Python slice assignment): +1 at black-span
     starts, −1 at ends in a flat delta array, cumsum, >0. Identical to
     :func:`_paint_row` per row — spans never overlap (change positions
     strictly increase), and an unpaired trailing change paints to ``w``.
+    Processed in row chunks so the int32 delta/cumsum temporaries stay
+    bounded (a broadsheet-size page would otherwise transiently allocate
+    ~8 bytes/pixel against the 1-byte output).
     """
     h = len(rows)
-    starts, ends = [], []
+    out = np.empty((h, w), dtype=np.uint8)
     stride = w + 1
-    for y, cur in enumerate(rows):
-        if not cur:
-            continue
-        arr = np.asarray(cur if len(cur) % 2 == 0 else cur + [w],
-                         dtype=np.int64)
-        np.minimum(arr, w, out=arr)
-        base = y * stride
-        starts.append(arr[0::2] + base)
-        ends.append(arr[1::2] + base)
-    delta = np.zeros(h * stride, dtype=np.int32)
-    if starts:
-        flat_s = np.concatenate(starts)
-        flat_e = np.concatenate(ends)
-        np.add.at(delta, flat_s, 1)
-        np.add.at(delta, flat_e, -1)
-    painted = np.cumsum(delta.reshape(h, stride)[:, :w], axis=1)
-    return (painted > 0).astype(np.uint8)
+    for y0 in range(0, h, _PAINT_CHUNK_ROWS):
+        chunk = rows[y0:y0 + _PAINT_CHUNK_ROWS]
+        starts, ends = [], []
+        for y, cur in enumerate(chunk):
+            if not cur:
+                continue
+            arr = np.asarray(cur if len(cur) % 2 == 0 else cur + [w],
+                             dtype=np.int64)
+            np.minimum(arr, w, out=arr)
+            base = y * stride
+            starts.append(arr[0::2] + base)
+            ends.append(arr[1::2] + base)
+        delta = np.zeros(len(chunk) * stride, dtype=np.int32)
+        if starts:
+            np.add.at(delta, np.concatenate(starts), 1)
+            np.add.at(delta, np.concatenate(ends), -1)
+        painted = np.cumsum(delta.reshape(len(chunk), stride)[:, :w], axis=1)
+        np.greater(painted, 0, out=out[y0:y0 + len(chunk)])
+    return out
 
 
 def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:

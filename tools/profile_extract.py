@@ -39,8 +39,10 @@ def load_pages(n: int):
     t = pq.read_table("/root/testdata/sf0.1/documents.parquet",
                       columns=["doc_id", "text", "lang"])
     rows = t.to_pylist()[:n]
-    return [build_page(int(r["doc_id"]) * 24 + k, r["text"], r["lang"])
-            for r in rows for k in range(1)]
+    # doc_id * 24 mirrors the bench's replicate=24 id spacing (one page
+    # per doc here; the profiler measures per-row cost, not fan-out)
+    return [build_page(int(r["doc_id"]) * 24, r["text"], r["lang"])
+            for r in rows]
 
 
 def stage_breakdown(pages, normalizer):
